@@ -1,0 +1,111 @@
+"""Bi-stride pooling: BFS-parity node selection + adjacency squaring.
+
+Semantics parity with reference `src/graph_wrappers/bsms_graph_wrapper.py`:
+per connected cluster, seed at the node nearest the cluster centroid
+(`nearest_center_seed`, ref :106-126), split nodes by BFS-ring parity and
+keep the smaller side (even wins ties or when odd is empty, ref :84-93);
+square A+I to preserve connectivity among kept nodes (ref :99-101, MKL
+SpGEMM → our C++ SpGEMM); relabel kept nodes and drop dangling edges
+(`pool_edge`, ref :128-154).
+
+Redesigned for scale: one multi-seed BFS covers every cluster at once
+(distinct clusters are mutually unreachable, so distances equal per-cluster
+BFS), and the parity vote is a bincount — no per-node Python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+import scipy.sparse
+
+from bsms_gnn_tpu.graph.csr import CsrGraph, UNREACHABLE
+from bsms_gnn_tpu.graph.native import square_pattern
+
+
+def nearest_center_seeds(pos: np.ndarray, clusters: List[np.ndarray]) -> np.ndarray:
+    """Per cluster, the node closest (L2) to the cluster centroid."""
+    seeds = []
+    for c in clusters:
+        center = pos[c].mean(axis=0)
+        d = np.linalg.norm(pos[c] - center[None, :], axis=-1)
+        seeds.append(c[int(np.argmin(d))])
+    return np.asarray(seeds, dtype=np.int64)
+
+
+def bstride_select(g: CsrGraph, pos: np.ndarray) -> np.ndarray:
+    """Kept-node indices (sorted) for one bi-stride level."""
+    clusters = g.components()
+    seeds = nearest_center_seeds(pos, clusters)
+    dist = g.bfs_dist(seeds)
+
+    labels = np.empty(g.num_nodes, dtype=np.int64)
+    for ci, c in enumerate(clusters):
+        labels[c] = ci
+    reachable = dist != UNREACHABLE
+    parity = np.zeros(g.num_nodes, dtype=np.int64)
+    parity[reachable] = dist[reachable] % 2
+
+    n_clusters = len(clusters)
+    even_counts = np.bincount(labels[reachable & (parity == 0)], minlength=n_clusters)
+    odd_counts = np.bincount(labels[reachable & (parity == 1)], minlength=n_clusters)
+    # Keep even when |even| <= |odd| or odd is empty, else odd.
+    keep_even = (even_counts <= odd_counts) | (odd_counts == 0)
+
+    keep = reachable & (parity == np.where(keep_even, 0, 1)[labels])
+    return np.flatnonzero(keep).astype(np.int64)
+
+
+def squared_adjacency(g: CsrGraph) -> CsrGraph:
+    """Graph of (A + I)^2 with the diagonal removed (pattern only)."""
+    adj = g.to_adj().tolil()
+    adj.setdiag(1)
+    indptr, indices = square_pattern(adj.tocsr(), drop_diag=True)
+    senders = np.repeat(np.arange(g.num_nodes, dtype=np.int64), np.diff(indptr))
+    return CsrGraph(np.stack([senders, indices]), g.num_nodes)
+
+
+def pool_edges(g: CsrGraph, kept: np.ndarray) -> CsrGraph:
+    """Restrict g to `kept` nodes, relabeling them 0..len(kept)-1."""
+    remap = np.full(g.num_nodes, -1, dtype=np.int64)
+    remap[kept] = np.arange(len(kept), dtype=np.int64)
+    e = remap[g.flat_edges]
+    valid = (e[0] >= 0) & (e[1] >= 0)
+    return CsrGraph(e[:, valid], len(kept))
+
+
+@dataclass
+class BistrideLevels:
+    """Raw (unpadded) multi-level graph structure.
+
+    graphs[l] is the level-l graph (graphs[0] = input mesh graph);
+    ids[l] are the level-l node indices kept to form level l+1.
+    """
+
+    graphs: List[CsrGraph]
+    ids: List[np.ndarray]
+
+
+def build_bistride_levels(
+    flat_edges: np.ndarray, num_layers: int, num_nodes: int, pos: np.ndarray
+) -> BistrideLevels:
+    """Equivalent of the reference's `BistrideMultiLayerGraph` driver
+    (ref `bsms_graph_wrapper.py:30-44`)."""
+    g = CsrGraph(flat_edges, num_nodes)
+    pos = np.asarray(pos, dtype=np.float64)
+    graphs = [g]
+    ids: List[np.ndarray] = []
+    for _ in range(num_layers):
+        kept = bstride_select(g, pos)
+        g = pool_edges(squared_adjacency(g), kept)
+        pos = pos[kept]
+        graphs.append(g)
+        ids.append(kept)
+    return BistrideLevels(graphs=graphs, ids=ids)
+
+
+def flat_edge_lists(levels: BistrideLevels) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """(per-level [2,E] edge arrays, per-level kept-index arrays)."""
+    return [g.flat_edges for g in levels.graphs], list(levels.ids)

@@ -1,0 +1,281 @@
+"""Static-shape padded hierarchy artifacts for the TPU hot path.
+
+The reference feeds ragged per-level edge lists straight to scatter_add
+(`src/ops/BSMS.py:39-104`, `src/utils/basic.py:324-343`). XLA wants static
+shapes and hates scatters, so the offline builder here emits, per level:
+
+  * receiver-sorted padded edge lists (`senders`/`receivers`, [E_pad]) —
+    contiguous segments for segment-sum / Pallas paths;
+  * ELL gather tables (`recv_ell` [N_pad, K_in], `send_ell` [N_pad, K_out]) —
+    every node's incident-edge slots padded to the level's max degree, so
+    aggregation becomes gather + dense sum (and every backward is a gather);
+  * static out-degrees (`deg`) for the non-parametric transition weights
+    (`cal_ew`, reference `src/ops/basic.py:142-167` — degree is a graph
+    constant, so it is precomputed, not recomputed per step);
+  * a validity mask for the padding nodes.
+
+Padding convention:
+  * nodes are padded to N_pad (always > N); pad nodes carry zeros and every
+    pad edge connects pad node N_pad-1 to itself, so garbage never reaches a
+    real node;
+  * ELL empty slots point to edge index E_pad; consumers append a zero row
+    at that index before gathering;
+  * pool ids pad to the parent's pad node; unpool inverse pads to the child
+    zero slot — `Unpool`'s zero-fill scatter (ref `ops/basic.py:170-201`)
+    becomes a pure gather through `unpool_inv`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from flax import struct
+
+from bsms_gnn_tpu.graph.bistride import BistrideLevels, build_bistride_levels
+from bsms_gnn_tpu.graph.csr import CsrGraph
+
+CACHE_VERSION = 3
+
+
+def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
+    n = max(n, minimum)
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@struct.dataclass
+class LevelGraph:
+    """One level's padded static graph. All index arrays are int32."""
+
+    senders: np.ndarray  # [E_pad] receiver-sorted
+    receivers: np.ndarray  # [E_pad] non-decreasing over real edges
+    recv_ell: np.ndarray  # [N_pad, K_in] edge slots per receiver (pad = E_pad)
+    send_ell: np.ndarray  # [N_pad, K_out] edge slots per sender (pad = E_pad)
+    deg: np.ndarray  # [N_pad] f32 out-degree over real edges (>= 1)
+    node_mask: np.ndarray  # [N_pad, 1] f32, 1.0 for real nodes
+    n_nodes: int = struct.field(pytree_node=False)  # real N
+    n_edges: int = struct.field(pytree_node=False)  # real E
+
+    @property
+    def n_pad_nodes(self) -> int:
+        return self.deg.shape[0]
+
+    @property
+    def n_pad_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+@struct.dataclass
+class Transition:
+    """Pool/unpool maps between level l (parent) and level l+1 (child)."""
+
+    pool_ids: np.ndarray  # [M_pad] parent-space node ids (pad → parent pad node)
+    unpool_inv: np.ndarray  # [N_pad_parent] child slot or M_pad (zero slot)
+
+
+@struct.dataclass
+class Hierarchy:
+    levels: Tuple[LevelGraph, ...]
+    transitions: Tuple[Transition, ...]
+
+    @property
+    def depth(self) -> int:
+        return len(self.transitions)
+
+
+def _build_ell(index: np.ndarray, n_pad: int, e_pad: int, n_real_edges: int) -> np.ndarray:
+    """ELL table: row n lists the real-edge slots whose `index` equals n,
+    padded with e_pad. K = max multiplicity over real nodes."""
+    idx = index[:n_real_edges].astype(np.int64)
+    counts = np.bincount(idx, minlength=n_pad)
+    k = max(int(counts.max()) if counts.size else 0, 1)
+    ell = np.full((n_pad, k), e_pad, dtype=np.int32)
+    order = np.argsort(idx, kind="stable")
+    sorted_idx = idx[order]
+    # Position of each edge within its node's slot list.
+    starts = np.zeros(n_pad + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(idx)) - starts[sorted_idx]
+    ell[sorted_idx, slot] = order.astype(np.int32)
+    return ell
+
+
+def _pad_level(
+    g: CsrGraph, n_pad: int, e_pad: int
+) -> LevelGraph:
+    n, e = g.num_nodes, g.flat_edges.shape[1]
+    assert n_pad > n, "need at least one padding node"
+    assert e_pad >= e
+    # Receiver-sorted real edges, then pad edges self-looped on the pad node.
+    order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
+    senders = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    receivers = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    senders[:e] = g.flat_edges[0][order]
+    receivers[:e] = g.flat_edges[1][order]
+
+    recv_ell = _build_ell(receivers, n_pad, e_pad, e)
+    send_ell = _build_ell(senders, n_pad, e_pad, e)
+
+    deg = np.zeros(n_pad, dtype=np.float32)
+    deg[:n] = g.degrees().astype(np.float32)
+    deg = np.maximum(deg, 1.0)
+
+    node_mask = np.zeros((n_pad, 1), dtype=np.float32)
+    node_mask[:n] = 1.0
+
+    return LevelGraph(
+        senders=senders,
+        receivers=receivers,
+        recv_ell=recv_ell,
+        send_ell=send_ell,
+        deg=deg,
+        node_mask=node_mask,
+        n_nodes=n,
+        n_edges=e,
+    )
+
+
+def build_hierarchy(
+    flat_edges: np.ndarray,
+    num_layers: int,
+    num_nodes: int,
+    pos: np.ndarray,
+    pad_multiple: int = 128,
+    node_buckets: Optional[List[int]] = None,
+    edge_buckets: Optional[List[int]] = None,
+) -> Hierarchy:
+    """Build bi-stride levels and pad them to static shapes.
+
+    `node_buckets`/`edge_buckets` optionally force per-level padded sizes
+    (for shape-bucketing across meshes of a variable-mesh dataset); otherwise
+    each level pads up to the next `pad_multiple` (plus the guaranteed pad
+    node).
+    """
+    levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
+    return pad_levels(levels, pad_multiple, node_buckets, edge_buckets)
+
+
+def pad_levels(
+    levels: BistrideLevels,
+    pad_multiple: int = 128,
+    node_buckets: Optional[List[int]] = None,
+    edge_buckets: Optional[List[int]] = None,
+) -> Hierarchy:
+    graphs, ids = levels.graphs, levels.ids
+    n_pads = []
+    e_pads = []
+    for l, g in enumerate(graphs):
+        if node_buckets is not None:
+            n_pad = node_buckets[l]
+            assert n_pad > g.num_nodes, f"node bucket {n_pad} too small at level {l}"
+        else:
+            n_pad = _pad_to(g.num_nodes + 1, pad_multiple)
+        e = g.flat_edges.shape[1]
+        if edge_buckets is not None:
+            e_pad = edge_buckets[l]
+            assert e_pad >= e, f"edge bucket {e_pad} too small at level {l}"
+        else:
+            e_pad = _pad_to(max(e, 1), pad_multiple)
+        n_pads.append(n_pad)
+        e_pads.append(e_pad)
+
+    lvl_graphs = tuple(
+        _pad_level(g, n_pads[l], e_pads[l]) for l, g in enumerate(graphs)
+    )
+
+    transitions = []
+    for l, kept in enumerate(ids):
+        parent_pad, child_pad = n_pads[l], n_pads[l + 1]
+        m = len(kept)
+        pool_ids = np.full(child_pad, parent_pad - 1, dtype=np.int32)
+        pool_ids[:m] = kept.astype(np.int32)
+        unpool_inv = np.full(parent_pad, child_pad, dtype=np.int32)
+        unpool_inv[kept] = np.arange(m, dtype=np.int32)
+        transitions.append(Transition(pool_ids=pool_ids, unpool_inv=unpool_inv))
+
+    return Hierarchy(levels=lvl_graphs, transitions=tuple(transitions))
+
+
+# ---------------------------------------------------------------------------
+# Cache I/O (replaces the reference's pickle cache, `datasets/base.py:89-125`,
+# with an npz of the padded artifacts keyed by depth + padding spec).
+# ---------------------------------------------------------------------------
+
+
+def _cache_key(num_layers: int, pad_multiple: int, node_buckets, edge_buckets) -> str:
+    blob = f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}|{edge_buckets}"
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
+def save_hierarchy(path: str, h: Hierarchy) -> None:
+    arrays = {"depth": np.int64(h.depth)}
+    for l, g in enumerate(h.levels):
+        arrays[f"l{l}_senders"] = g.senders
+        arrays[f"l{l}_receivers"] = g.receivers
+        arrays[f"l{l}_recv_ell"] = g.recv_ell
+        arrays[f"l{l}_send_ell"] = g.send_ell
+        arrays[f"l{l}_deg"] = g.deg
+        arrays[f"l{l}_node_mask"] = g.node_mask
+        arrays[f"l{l}_meta"] = np.array([g.n_nodes, g.n_edges], dtype=np.int64)
+    for l, t in enumerate(h.transitions):
+        arrays[f"t{l}_pool_ids"] = t.pool_ids
+        arrays[f"t{l}_unpool_inv"] = t.unpool_inv
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_hierarchy(path: str) -> Hierarchy:
+    with np.load(path) as z:
+        depth = int(z["depth"])
+        levels = []
+        for l in range(depth + 1):
+            meta = z[f"l{l}_meta"]
+            levels.append(
+                LevelGraph(
+                    senders=z[f"l{l}_senders"],
+                    receivers=z[f"l{l}_receivers"],
+                    recv_ell=z[f"l{l}_recv_ell"],
+                    send_ell=z[f"l{l}_send_ell"],
+                    deg=z[f"l{l}_deg"],
+                    node_mask=z[f"l{l}_node_mask"],
+                    n_nodes=int(meta[0]),
+                    n_edges=int(meta[1]),
+                )
+            )
+        transitions = [
+            Transition(pool_ids=z[f"t{l}_pool_ids"], unpool_inv=z[f"t{l}_unpool_inv"])
+            for l in range(depth)
+        ]
+    return Hierarchy(levels=tuple(levels), transitions=tuple(transitions))
+
+
+def load_or_build_hierarchy(
+    cache_dir: str,
+    cache_name: str,
+    flat_edges: np.ndarray,
+    num_layers: int,
+    num_nodes: int,
+    pos: np.ndarray,
+    pad_multiple: int = 128,
+    node_buckets: Optional[List[int]] = None,
+    edge_buckets: Optional[List[int]] = None,
+) -> Hierarchy:
+    """Cache-through build. `cache_name` should be shared across trajectories
+    when the dataset has a consistent mesh (one build serves all, matching
+    reference `base.py:98-101` cache-sharing) and per-trajectory otherwise."""
+    key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets)
+    path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
+    if os.path.isfile(path):
+        try:
+            return load_hierarchy(path)
+        except Exception:
+            pass  # stale/corrupt cache: rebuild
+    h = build_hierarchy(
+        flat_edges, num_layers, num_nodes, pos, pad_multiple, node_buckets, edge_buckets
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    save_hierarchy(path, h)
+    return h

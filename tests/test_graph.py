@@ -1,0 +1,217 @@
+"""Precompute-layer tests: mesh→edges, CSR/BFS, bi-stride invariants,
+padded-hierarchy consistency (SURVEY.md §4: connectivity invariants — every
+removed node must stay adjacent to a kept node after squaring)."""
+
+import numpy as np
+import pytest
+
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+from bsms_gnn_tpu.graph.csr import CsrGraph, UNREACHABLE
+from bsms_gnn_tpu.graph.bistride import (
+    build_bistride_levels,
+    bstride_select,
+    pool_edges,
+    squared_adjacency,
+)
+from bsms_gnn_tpu.graph.hierarchy import build_hierarchy, load_or_build_hierarchy
+from bsms_gnn_tpu.graph.native import native_available, square_pattern
+
+from conftest import make_grid_mesh, make_path_graph
+
+
+def test_tri_edges_square():
+    # One square split into two triangles: 5 undirected edges → 10 directed.
+    cells = np.array([[0, 1, 2], [0, 2, 3]])
+    e = to_flat_edge(cells, "tri")
+    assert e.shape == (2, 10)
+    undirected = {tuple(sorted(p)) for p in e.T.tolist()}
+    assert undirected == {(0, 1), (1, 2), (0, 2), (2, 3), (0, 3)}
+    # Symmetry: both directions present.
+    pairs = {tuple(p) for p in e.T.tolist()}
+    assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_tetra_and_quad_and_line_edges():
+    tet = to_flat_edge(np.array([[0, 1, 2, 3]]), "tetra")
+    assert {tuple(sorted(p)) for p in tet.T.tolist()} == {
+        (0, 1), (1, 2), (2, 3), (0, 3), (0, 2), (1, 3)
+    }
+    quad = to_flat_edge(np.array([[0, 1, 2, 3]]), "quad")
+    assert {tuple(sorted(p)) for p in quad.T.tolist()} == {
+        (0, 1), (1, 2), (2, 3), (0, 3)
+    }
+    line = to_flat_edge(np.array([[0, 1], [1, 2]]), "line")
+    assert line.shape == (2, 4)
+    flat = to_flat_edge(np.array([[0], [1]]), "flat")
+    assert flat.tolist() == [[0], [1]]
+
+
+def test_bfs_dist_path():
+    edges, _ = make_path_graph(11)
+    g = CsrGraph(edges, 11)
+    d = g.bfs_dist(0)
+    assert d.tolist() == list(range(11))
+    d5 = g.bfs_dist(5)
+    assert d5.tolist() == [5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5]
+
+
+def test_bfs_unreachable_and_components():
+    edges = np.array([[0, 1, 3, 4], [1, 0, 4, 3]])
+    g = CsrGraph(edges, 6)
+    d = g.bfs_dist(0)
+    assert d[0] == 0 and d[1] == 1
+    assert d[3] == UNREACHABLE and d[5] == UNREACHABLE
+    comps = sorted([c.tolist() for c in g.components()])
+    assert comps == [[0, 1], [2], [3, 4], [5]]
+
+
+def test_spgemm_matches_scipy():
+    rng = np.random.default_rng(1)
+    n = 60
+    mask = rng.random((n, n)) < 0.08
+    mask = mask | mask.T
+    np.fill_diagonal(mask, True)
+    g = CsrGraph.from_adj(mask)
+    adj = g.to_adj()
+    indptr, indices = square_pattern(adj, drop_diag=True)
+    ref = (adj.astype(bool) @ adj.astype(bool)).tocsr()
+    ref.setdiag(False)
+    ref.eliminate_zeros()
+    ref.sort_indices()
+    np.testing.assert_array_equal(indptr, ref.indptr)
+    np.testing.assert_array_equal(indices, ref.indices)
+
+
+def test_native_spgemm_compiled():
+    # The native library should compile in this environment; the scipy
+    # fallback existing is not an excuse for it to silently never build.
+    assert native_available()
+
+
+def test_bstride_path_graph_parity():
+    # Path 0..10, seed = node 5 (nearest centroid): BFS parity keeps the
+    # smaller side; even ring = {5,3,7,1,9}=5+1... distances from 5 are
+    # [5,4,3,2,1,0,1,2,3,4,5] → even set {1,3,5,7,9} (6 nodes? no:
+    # dists even at nodes 1,3,5,7,9 and 0? dist0=5 odd) — compute directly.
+    edges, pos = make_path_graph(11)
+    g = CsrGraph(edges, 11)
+    kept = bstride_select(g, pos)
+    d = g.bfs_dist(5)
+    even = set(np.flatnonzero(d % 2 == 0).tolist())
+    odd = set(np.flatnonzero(d % 2 == 1).tolist())
+    expect = even if (len(even) <= len(odd) or not odd) else odd
+    assert set(kept.tolist()) == expect
+
+
+def test_bistride_levels_invariants():
+    pos, cells = make_grid_mesh(12, 9)
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    depth = 3
+    levels = build_bistride_levels(edges, depth, n, pos)
+    assert len(levels.graphs) == depth + 1
+    assert len(levels.ids) == depth
+    for l in range(depth):
+        g = levels.graphs[l]
+        kept = levels.ids[l]
+        removed = np.setdiff1d(np.arange(g.num_nodes), kept)
+        # Connectivity invariant: in the squared graph every removed node is
+        # adjacent to a kept node (so information can reach the next level).
+        sq = squared_adjacency(g)
+        adj = sq.to_adj().tocsr()
+        kept_mask = np.zeros(g.num_nodes, dtype=bool)
+        kept_mask[kept] = True
+        for r in removed:
+            neigh = adj.indices[adj.indptr[r] : adj.indptr[r + 1]]
+            assert kept_mask[neigh].any(), f"removed node {r} stranded at level {l}"
+        # Next level node count matches kept count.
+        assert levels.graphs[l + 1].num_nodes == len(kept)
+        # Coarser level is (roughly) half the size.
+        assert len(kept) <= g.num_nodes
+
+
+def test_pool_edges_relabel():
+    edges = np.array([[0, 1, 1, 2, 2, 3], [1, 0, 2, 1, 3, 2]])
+    g = CsrGraph(edges, 4)
+    pooled = pool_edges(g, np.array([0, 2]))
+    # Only edges among {0, 2} survive; path graph has none.
+    assert pooled.flat_edges.shape[1] == 0
+    pooled2 = pool_edges(g, np.array([1, 2]))
+    assert {tuple(p) for p in pooled2.flat_edges.T.tolist()} == {(0, 1), (1, 0)}
+
+
+def test_hierarchy_padding_and_ell():
+    pos, cells = make_grid_mesh(10, 10)
+    edges = to_flat_edge(cells, "tri")
+    h = build_hierarchy(edges, 2, pos.shape[0], pos, pad_multiple=64)
+    assert h.depth == 2
+    for g in h.levels:
+        n_pad, e_pad = g.n_pad_nodes, g.n_pad_edges
+        assert n_pad % 64 == 0 and n_pad > g.n_nodes
+        assert e_pad % 64 == 0 and e_pad >= g.n_edges
+        # Real edges are receiver-sorted.
+        rr = g.receivers[: g.n_edges]
+        assert np.all(np.diff(rr.astype(np.int64)) >= 0)
+        # Pad edges self-loop on the pad node.
+        assert np.all(g.senders[g.n_edges :] == n_pad - 1)
+        assert np.all(g.receivers[g.n_edges :] == n_pad - 1)
+        # ELL tables reconstruct exact per-node sums: for every real node,
+        # the slots listed must be exactly the edges with that receiver.
+        for n in [0, 1, g.n_nodes - 1]:
+            slots = g.recv_ell[n]
+            real = slots[slots < e_pad]
+            assert set(real.tolist()) == set(
+                np.flatnonzero(g.receivers[: g.n_edges] == n).tolist()
+            )
+        # Degree matches edge counts (senders).
+        counts = np.bincount(g.senders[: g.n_edges], minlength=n_pad)
+        np.testing.assert_array_equal(
+            g.deg[: g.n_nodes], np.maximum(counts[: g.n_nodes], 1).astype(np.float32)
+        )
+        # Mask marks exactly the real nodes.
+        assert g.node_mask.sum() == g.n_nodes
+
+    for l, t in enumerate(h.transitions):
+        parent, child = h.levels[l], h.levels[l + 1]
+        m = child.n_nodes
+        # Real pool ids are real parent nodes; pads point at parent pad node.
+        assert np.all(t.pool_ids[:m] < parent.n_nodes)
+        assert np.all(t.pool_ids[m:] == parent.n_pad_nodes - 1)
+        # unpool_inv inverts pool_ids on the kept set.
+        inv = t.unpool_inv
+        kept = t.pool_ids[:m]
+        np.testing.assert_array_equal(inv[kept], np.arange(m))
+        dropped = np.setdiff1d(np.arange(parent.n_nodes), kept)
+        assert np.all(inv[dropped] == child.n_pad_nodes)
+
+
+def test_hierarchy_cache_roundtrip(tmp_path):
+    pos, cells = make_grid_mesh(8, 8)
+    edges = to_flat_edge(cells, "tri")
+    h1 = load_or_build_hierarchy(
+        str(tmp_path), "shared", edges, 2, pos.shape[0], pos, pad_multiple=32
+    )
+    h2 = load_or_build_hierarchy(
+        str(tmp_path), "shared", edges, 2, pos.shape[0], pos, pad_multiple=32
+    )
+    assert h1.depth == h2.depth
+    for g1, g2 in zip(h1.levels, h2.levels):
+        np.testing.assert_array_equal(g1.senders, g2.senders)
+        np.testing.assert_array_equal(g1.recv_ell, g2.recv_ell)
+        assert g1.n_nodes == g2.n_nodes and g1.n_edges == g2.n_edges
+    for t1, t2 in zip(h1.transitions, h2.transitions):
+        np.testing.assert_array_equal(t1.pool_ids, t2.pool_ids)
+        np.testing.assert_array_equal(t1.unpool_inv, t2.unpool_inv)
+
+
+def test_hierarchy_buckets():
+    pos, cells = make_grid_mesh(6, 6)
+    edges = to_flat_edge(cells, "tri")
+    node_buckets = [64, 64, 64]
+    edge_buckets = [512, 512, 512]
+    h = build_hierarchy(
+        edges, 2, pos.shape[0], pos, node_buckets=node_buckets, edge_buckets=edge_buckets
+    )
+    for l, g in enumerate(h.levels):
+        assert g.n_pad_nodes == node_buckets[l]
+        assert g.n_pad_edges == edge_buckets[l]
