@@ -145,6 +145,11 @@ def _apply_dict(cfg: Any, d: dict) -> None:
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
             _apply_dict(cur, v)
         else:
+            # YAML 1.1 reads `1e-4` as a string; coerce against field types.
+            if isinstance(v, str) and isinstance(cur, (int, float)) and not isinstance(cur, bool):
+                v = _coerce(v, cur)
+            if isinstance(v, list) and isinstance(cur, list) and cur and isinstance(cur[0], float):
+                v = [float(x) for x in v]
             setattr(cfg, k, v)
 
 
