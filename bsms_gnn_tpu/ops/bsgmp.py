@@ -1,0 +1,105 @@
+"""BSGMP: the bi-stride graph U-Net processor.
+
+Parity with reference `src/ops/BSMS.py:8-104`, preserving the behavioral
+subtleties SURVEY.md §7.3 lists: down pass per level runs GMP → cal_ew →
+weighted conv of h and pos → index-select pool (weights cached); the up pass
+unpools, reverse-convolves with the *cached fine-level* weights, runs the up
+GMP against the *saved fine-level positions*, and adds the U-Net skip.
+
+Level weights `w` are per-node [N_pad, 1] and graph-only (no batch axis),
+exactly as in the reference where batched samples share the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bsms_gnn_tpu.graph.hierarchy import Hierarchy
+from bsms_gnn_tpu.ops.message import (
+    GMPParams,
+    cal_ew,
+    edge_conv_down,
+    edge_conv_up,
+    gmp_apply,
+    init_gmp,
+)
+from bsms_gnn_tpu.ops.pool import pool_nodes, unpool_nodes
+
+
+@struct.dataclass
+class BSGMPParams:
+    down_gmps: Tuple[GMPParams, ...]
+    up_gmps: Tuple[GMPParams, ...]
+    bottom_gmp: GMPParams
+
+
+def init_bsgmp(
+    key, unet_depth: int, latent_dim: int, hidden_layer: int, pos_dim: int
+) -> BSGMPParams:
+    keys = jax.random.split(key, 2 * unet_depth + 1)
+    return BSGMPParams(
+        down_gmps=tuple(
+            init_gmp(keys[i], latent_dim, hidden_layer, pos_dim) for i in range(unet_depth)
+        ),
+        up_gmps=tuple(
+            init_gmp(keys[unet_depth + i], latent_dim, hidden_layer, pos_dim)
+            for i in range(unet_depth)
+        ),
+        bottom_gmp=init_gmp(keys[-1], latent_dim, hidden_layer, pos_dim),
+    )
+
+
+def bsgmp_apply(
+    params: BSGMPParams,
+    hierarchy: Hierarchy,
+    h,
+    pos,
+    method: str = "ell",
+    compute_dtype=None,
+    remat: bool = False,
+):
+    """h: [..., N_pad0, C]; pos: [N_pad0, pos_dim] (or batched like h)."""
+    depth = hierarchy.depth
+    assert len(params.down_gmps) == depth
+
+    gmp = gmp_apply
+    if remat:
+        gmp = jax.checkpoint(gmp_apply, static_argnums=(4, 5))
+
+    down_outs = []
+    down_ps = []
+    cts = []
+    w = jnp.ones((hierarchy.levels[0].n_pad_nodes, 1), h.dtype)
+
+    for i in range(depth):
+        level = hierarchy.levels[i]
+        trans = hierarchy.transitions[i]
+        h = gmp(params.down_gmps[i], level, h, pos, method, compute_dtype)
+        down_outs.append(h)
+        down_ps.append(pos)
+
+        ew, w = cal_ew(level, w, method)
+        h = edge_conv_down(level, h, ew, method)
+        pos = edge_conv_down(level, pos, ew, method)
+        cts.append(ew)
+
+        h = pool_nodes(trans, h)
+        pos = pool_nodes(trans, pos)
+        w = pool_nodes(trans, w)
+
+    h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, pos, method, compute_dtype)
+
+    for i in range(depth):
+        d = depth - i - 1
+        level = hierarchy.levels[d]
+        trans = hierarchy.transitions[d]
+        h = unpool_nodes(trans, h)
+        h = edge_conv_up(level, h, cts[d], method)
+        h = gmp(params.up_gmps[i], level, h, down_ps[d], method, compute_dtype)
+        h = h + down_outs[d]
+
+    return h

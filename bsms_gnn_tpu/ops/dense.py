@@ -1,0 +1,82 @@
+"""Dense layers as pure functions over param pytrees.
+
+Parity with reference `src/ops/basic.py:6-23` (`MLP`: hidden_layers ×
+(Linear→ReLU) → Linear → optional non-affine LayerNorm). Initialization
+matches torch.nn.Linear's default (U(±1/√fan_in) for both weight and bias) so
+training dynamics are comparable. Matmuls ride the MXU; `compute_dtype`
+bfloat16 casts operands while accumulating in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class MLPParams:
+    weights: Tuple[Any, ...]  # each [in, out]
+    biases: Tuple[Any, ...]  # each [out]
+    layer_normalized: bool = struct.field(pytree_node=False, default=True)
+
+
+def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, minval=-bound, maxval=bound)
+    return w, b
+
+
+def init_mlp(
+    key,
+    input_dim: int,
+    latent_dim: int,
+    output_dim: int,
+    hidden_layers: int,
+    layer_normalized: bool = True,
+    dtype=jnp.float32,
+) -> MLPParams:
+    dims = [input_dim] + [latent_dim] * hidden_layers + [output_dim]
+    keys = jax.random.split(key, len(dims) - 1)
+    ws: List[Any] = []
+    bs: List[Any] = []
+    for k, (fi, fo) in zip(keys, zip(dims[:-1], dims[1:])):
+        w, b = _linear_init(k, fi, fo, dtype)
+        ws.append(w)
+        bs.append(b)
+    return MLPParams(weights=tuple(ws), biases=tuple(bs), layer_normalized=layer_normalized)
+
+
+def dense(x, w, b, compute_dtype=None):
+    """x @ w + b with optional low-precision operands, f32 accumulation."""
+    if compute_dtype is not None and compute_dtype != x.dtype:
+        out = jnp.matmul(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    return out + b
+
+
+def layer_norm(x, eps: float = 1e-5):
+    """Non-affine LayerNorm over the last axis (torch default eps)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def mlp_apply(params: MLPParams, x, compute_dtype=None):
+    n = len(params.weights)
+    for i in range(n - 1):
+        x = jax.nn.relu(dense(x, params.weights[i], params.biases[i], compute_dtype))
+    x = dense(x, params.weights[-1], params.biases[-1], compute_dtype)
+    if params.layer_normalized:
+        x = layer_norm(x)
+    return x

@@ -1,0 +1,7 @@
+"""Pallas TPU kernels for the aggregation hot path.
+
+`segment_sum_pallas` returns None when the kernel does not apply (wrong
+platform / unsupported shape), letting callers fall back to the ELL path.
+"""
+
+from bsms_gnn_tpu.ops.pallas.segment_sum import segment_sum_pallas  # noqa: F401
