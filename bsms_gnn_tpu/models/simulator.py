@@ -1,0 +1,141 @@
+"""BSMS next-step simulator: encode → BSGMP process → decode, delta target.
+
+Parity with reference `src/models/model.py`:
+  * inputs are [..., N, C + pos_dim + 1] = [output_fields, mesh_pos,
+    node_type]; the latent input strips mesh_pos and keeps node_type
+    (`_get_nodal_latent_input`, ref :29-46);
+  * targets are per-node deltas to the next frame (`_deltas`, ref :64-81);
+  * normalize input → encode MLP → BSGMP → decode MLP → denormalize delta →
+    zero masked nodes → pred = state + delta (`_forward`, ref :127-164);
+  * warmup accumulates normalizer statistics and predicts zeros
+    (`_warmup`, ref :108-125) — expressed here as a separate pure function
+    the trainer gates with `lax.cond`.
+
+The reference's two batching modes (consistent-mesh dense batch vs PyG
+disjoint union, ref :166-208) collapse into one: features are [..., N_pad, C]
+over a single padded `Hierarchy` — a shared mesh batches as [B, N_pad, C];
+variable meshes arrive as an offline-built padded disjoint union with leading
+dim 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bsms_gnn_tpu.config import ModelConfig
+from bsms_gnn_tpu.graph.hierarchy import Hierarchy
+from bsms_gnn_tpu.models.normalizer import (
+    NormalizerState,
+    denormalize,
+    init_normalizer,
+    normalize,
+    normalizer_accumulate,
+)
+from bsms_gnn_tpu.ops.bsgmp import BSGMPParams, bsgmp_apply, init_bsgmp
+from bsms_gnn_tpu.ops.dense import MLPParams, init_mlp, mlp_apply
+
+
+@struct.dataclass
+class SimulatorParams:
+    encode: MLPParams
+    process: BSGMPParams
+    decode: MLPParams
+
+
+@struct.dataclass
+class SimulatorState:
+    """Trainable params + non-trainable normalizer statistics."""
+
+    params: SimulatorParams
+    norm_in: NormalizerState
+    norm_out: NormalizerState
+
+
+def init_simulator(key, cfg: ModelConfig) -> SimulatorState:
+    ke, kp, kd = jax.random.split(key, 3)
+    params = SimulatorParams(
+        encode=init_mlp(
+            ke, cfg.out_dim + 1, cfg.latent_dim, cfg.latent_dim, cfg.hidden_layer, True
+        ),
+        process=init_bsgmp(kp, cfg.unet_depth, cfg.latent_dim, cfg.hidden_layer, cfg.pos_dim),
+        decode=init_mlp(
+            kd, cfg.latent_dim, cfg.latent_dim, cfg.out_dim, cfg.hidden_layer, False
+        ),
+    )
+    max_acc = 5e5
+    return SimulatorState(
+        params=params,
+        norm_in=init_normalizer(cfg.out_dim + 1, max_accumulations=max_acc),
+        norm_out=init_normalizer(cfg.out_dim, max_accumulations=max_acc),
+    )
+
+
+def split_node_input(node_in, pos_dim: int):
+    """[..., C+pos_dim+1] → (latent_input [..., C+1], pos [..., pos_dim],
+    node_type [..., 1])."""
+    fields = node_in[..., : -1 - pos_dim]
+    pos = node_in[..., -(1 + pos_dim) : -1]
+    node_type = node_in[..., -1:]
+    latent_input = jnp.concatenate([fields, node_type], axis=-1)
+    return latent_input, pos, node_type
+
+
+def target_delta(node_in, node_tar, pos_dim: int):
+    """node_tar − current output-fields (ref `_deltas`)."""
+    c = node_tar.shape[-1]
+    return node_tar - node_in[..., :c]
+
+
+def simulator_forward(
+    params: SimulatorParams,
+    norm_in: NormalizerState,
+    norm_out: NormalizerState,
+    hierarchy: Hierarchy,
+    node_in,
+    node_mask,
+    cfg: ModelConfig,
+    compute_dtype=None,
+):
+    """Predict the next-step state. node_in: [..., N_pad, C+pos_dim+1];
+    node_mask: [..., N_pad, 1] (1 = loss-valid node)."""
+    latent_input, pos, _ = split_node_input(node_in, cfg.pos_dim)
+
+    norm_node_in = normalize(norm_in, latent_input)
+    x = mlp_apply(params.encode, norm_node_in, compute_dtype)
+    x = bsgmp_apply(
+        params.process,
+        hierarchy,
+        x,
+        pos,
+        method=cfg.aggregation,
+        compute_dtype=compute_dtype,
+        remat=cfg.remat,
+    )
+    norm_pred_delta = mlp_apply(params.decode, x, compute_dtype)
+
+    pred_delta = denormalize(norm_out, norm_pred_delta) * node_mask
+    c = pred_delta.shape[-1]
+    return latent_input[..., :c] + pred_delta
+
+
+def simulator_warmup(
+    state: SimulatorState,
+    node_in,
+    node_tar,
+    cfg: ModelConfig,
+    node_mask: Optional[jax.Array] = None,
+) -> SimulatorState:
+    """Accumulate normalizer statistics (ref `_warmup`). The optional mask
+    keeps padded rows out of the statistics (pass None to reproduce the
+    reference exactly on unpadded data)."""
+    latent_input, _, _ = split_node_input(node_in, cfg.pos_dim)
+    delta = target_delta(latent_input, node_tar, cfg.pos_dim)
+    return SimulatorState(
+        params=state.params,
+        norm_in=normalizer_accumulate(state.norm_in, latent_input, node_mask),
+        norm_out=normalizer_accumulate(state.norm_out, delta, node_mask),
+    )

@@ -3,12 +3,20 @@ multi-chip sharding tests run anywhere (SURVEY.md §4 test strategy)."""
 
 import os
 
+# The axon TPU plugin ignores JAX_PLATFORMS; the legacy JAX_PLATFORM_NAME and
+# the config update below both take effect. Set everything before any test
+# module imports jax.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,172 @@
+"""Trainer tests: warmup gating, loss descent, schedule parity, gradient
+accumulation, checkpoint round-trip including optimizer state, rollout scan
+semantics (IC clamping) and streaming metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_grid_mesh
+
+from bsms_gnn_tpu.config import load_config
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
+from bsms_gnn_tpu.training import Trainer, rollout_trajectory, rollout_metrics
+from bsms_gnn_tpu.training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from bsms_gnn_tpu.training.rollout import StreamingStats
+from bsms_gnn_tpu.training.schedule import warmup_cosine_schedule
+
+
+def _setup(warmup=2, batch=2, noise="[0.0,0.0,0.0]"):
+    cfg = load_config([
+        "model.unet_depth=2", "model.latent_dim=16", "model.hidden_layer=1",
+        f"model.accumulation_steps={warmup}",
+        f"datasets.noise_level={noise}",
+        "opt.warmup_steps=5", "opt.decay_steps=50",
+    ])
+    pos, cells = make_grid_mesh(7, 7)
+    edges = to_flat_edge(cells, "tri")
+    h = build_hierarchy(edges, 2, pos.shape[0], pos, pad_multiple=16)
+    n_pad = h.levels[0].n_pad_nodes
+    n = pos.shape[0]
+    rng = np.random.default_rng(3)
+    c = cfg.model.out_dim
+    node_in = np.zeros((batch, n_pad, c + 3), np.float32)
+    node_in[:, :n, :c] = rng.standard_normal((batch, n, c))
+    node_in[:, :n, c:c + 2] = pos
+    node_tar = np.zeros((batch, n_pad, c), np.float32)
+    # Learnable target: delta is a fixed smooth function of position.
+    node_tar[:, :n] = node_in[:, :n, :c] + 0.1 * np.sin(pos[None, :, :1])
+    mask = np.zeros((batch, n_pad, 1), np.float32)
+    mask[:, :n] = 1.0
+    return cfg, h, jnp.asarray(node_in), jnp.asarray(node_tar), jnp.asarray(mask)
+
+
+def test_warmup_gates_updates_and_accumulates():
+    cfg, h, node_in, node_tar, mask = _setup(warmup=3)
+    tr = Trainer(cfg)
+    p0 = jax.tree_util.tree_leaves(tr.state.sim.params)[0].copy()
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))
+    # During warmup: params unchanged, normalizer accumulated.
+    assert float(tr.state.sim.norm_in.num_accumulations) == 3.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr.state.sim.params)[0]), np.asarray(p0)
+    )
+    # Two real steps (the very first optimizer update has lr=0, matching the
+    # reference scheduler's factor(0)=0): params move, normalizers frozen.
+    tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 99))
+    tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 100))
+    assert float(tr.state.sim.norm_in.num_accumulations) == 3.0
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(tr.state.sim.params)[0]), np.asarray(p0)
+    )
+    assert tr.step == 5
+
+
+def test_loss_decreases():
+    cfg, h, node_in, node_tar, mask = _setup(warmup=1)
+    tr = Trainer(cfg)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        losses.append(float(tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))))
+    assert losses[-1] < losses[1] * 0.9, losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+
+
+def test_schedule_matches_reference_factor():
+    sched = warmup_cosine_schedule(2e-4, warmup_steps=10, decay_steps=100)
+    # Reference factor: epoch<=warmup → epoch/warmup; else cosine.
+    for step in [0, 5, 10, 40, 100, 150]:
+        got = float(sched(step))
+        if step <= 10:
+            want = 2e-4 * step / 10
+        else:
+            progress = min((step - 10) / 90, 1.0)
+            want = 2e-4 * 0.5 * (1 + np.cos(np.pi * progress))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+
+
+def test_gradient_accumulation_matches_larger_batch():
+    cfg, h, node_in, node_tar, mask = _setup(warmup=0, batch=2)
+    cfg.opt.gradient_accumulation_steps = 2
+    tr = Trainer(cfg)
+    key = jax.random.PRNGKey(2)
+    for i in range(4):
+        tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 0))
+    # 4 micro-steps / 2 = 2 applied updates; params changed.
+    leaves0 = jax.tree_util.tree_leaves(Trainer(cfg).state.sim.params)
+    leaves1 = jax.tree_util.tree_leaves(tr.state.sim.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, h, node_in, node_tar, mask = _setup(warmup=0)
+    tr = Trainer(cfg)
+    key = jax.random.PRNGKey(3)
+    for i in range(3):
+        tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))
+    save_checkpoint(str(tmp_path), tr.step, tr.state)
+    assert latest_step(str(tmp_path)) == 3
+
+    tr2 = Trainer(cfg)
+    restored = restore_checkpoint(str(tmp_path), 3, tr2.state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored state continues training identically (optimizer state incl.).
+    tr2.state = restored
+    l1 = float(tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 50)))
+    l2 = float(tr2.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 50)))
+    assert l1 == l2
+
+
+def test_rollout_clamps_dirichlet_nodes():
+    cfg, h, node_in, node_tar, mask_arr = _setup(warmup=0, batch=1)
+    tr = Trainer(cfg)
+    node_in0 = node_in[0]
+    mask = np.asarray(mask_arr[0]).copy()
+    mask[:5] = 0.0  # first 5 nodes Dirichlet
+    mask = jnp.asarray(mask)
+    preds = rollout_trajectory(
+        tr.state.sim, h, node_in0, mask, 4, cfg.model
+    )
+    assert preds.shape == (4, node_in0.shape[0], cfg.model.out_dim)
+    assert np.all(np.isfinite(np.asarray(preds)))
+    # Dirichlet semantics (ref rollout_utils.py:62): prediction at masked
+    # nodes equals the prediction computed from a clamped input; the *input*
+    # fed forward is clamped to IC. Check the fed-back state: step t>0
+    # predictions at masked nodes must equal step-0 behavior given IC clamp.
+    # Direct check: masked-node feedback means pred at masked nodes always
+    # equals IC fields + 0 delta (mask zeroes delta).
+    ic_fields = np.asarray(node_in0)[:5, : cfg.model.out_dim]
+    for t in range(4):
+        np.testing.assert_allclose(np.asarray(preds[t, :5]), ic_fields, atol=1e-5)
+
+
+def test_rollout_metrics_and_streaming_stats(rng):
+    preds = rng.standard_normal((6, 10, 2))
+    tars = rng.standard_normal((6, 10, 2))
+    mask = np.ones((10, 1))
+    m = rollout_metrics(preds, tars, mask)
+    se = (preds - tars) ** 2
+    np.testing.assert_allclose(m["overall"], np.sqrt(se.mean()), rtol=1e-6)
+    assert m["per_channel"].shape == (6, 2)
+    assert m["per_time"].shape == (2, 6)
+
+    st = StreamingStats(2)
+    st.add(np.array([[1.0, 2.0]]))
+    st.add(np.array([[3.0, 4.0]]))
+    np.testing.assert_allclose(st.mean(), [2.0, 3.0])
+    np.testing.assert_allclose(st.std(), [1.0, 1.0])
