@@ -1,0 +1,225 @@
+"""Batching pipeline: bucket planning, shuffled infinite sampling with
+background prefetch, hierarchy stacking for variable meshes, rollout mode.
+
+Parity with reference `TrajectoryDataPipe` (`src/datasets/base.py:128-357`) +
+`InfiniteDataLooper` (`utils/dataset_utils.py`): shuffled (file, timestep)
+sampling, per-worker RNG seeding, train/test/rollout modes. The reference's
+two collation modes collapse into static-shape batches (SURVEY.md §7.1):
+
+  * consistent mesh → features [B, N_pad, C] over ONE shared Hierarchy;
+  * variable meshes → per-sample hierarchies padded to dataset-wide buckets
+    and stacked leaf-wise → [B, ...] arrays driven by a vmapped forward
+    (replacing PyG disjoint-union collation + index offsetting).
+
+Noise injection happens on-device in the trainer, so batches here are clean.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import h5py
+import jax
+import numpy as np
+
+from bsms_gnn_tpu.config import DatasetConfig
+from bsms_gnn_tpu.data.trajectory import TrajectoryReader
+from bsms_gnn_tpu.graph.hierarchy import Hierarchy, load_or_build_levels
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+
+
+@dataclass
+class Batch:
+    node_in: np.ndarray  # [B, N_pad, C+pos+1]
+    node_tar: np.ndarray  # [B, N_pad, C]
+    node_mask: np.ndarray  # [B, N_pad, 1]
+    hierarchy: Hierarchy  # shared (1-sample arrays) or stacked ([B, ...])
+
+
+def stack_hierarchies(hs: List[Hierarchy]) -> Hierarchy:
+    """Stack same-shape hierarchies leaf-wise along a new leading axis.
+    Static fields (n_nodes/n_edges) take the max — they are metadata only;
+    the compute path reads padded shapes."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *hs)
+
+
+def dataset_files(cfg: DatasetConfig, mode: str) -> List[str]:
+    # No "rollout" subdir on disk; rollout reads the test split (ref
+    # base.py:149-152).
+    disk_mode = "test" if mode == "rollout" else mode
+    files = sorted(glob.glob(os.path.join(cfg.root, cfg.name, disk_mode, "*.h5")))
+    if not files:
+        raise FileNotFoundError(
+            f"No trajectories under {os.path.join(cfg.root, cfg.name, disk_mode)}"
+        )
+    return files
+
+
+def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], List[int]]:
+    """Dataset-wide per-level padded shapes for variable-mesh datasets.
+
+    Scans every trajectory's raw levels (cache-through), takes per-level
+    maxima over train+test, rounds up. Cached as JSON next to the data.
+    """
+    all_files = []
+    for m in ("train", "test"):
+        try:
+            all_files += dataset_files(cfg, m)
+        except FileNotFoundError:
+            pass
+    if not all_files:
+        all_files = dataset_files(cfg, mode)
+    plan_path = os.path.join(
+        cfg.root, cfg.name, f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}.json"
+    )
+    if os.path.isfile(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+        if plan.get("n_files") == len(all_files):
+            return plan["node_buckets"], plan["edge_buckets"]
+
+    n_max = np.zeros(cfg.unet_depth + 1, np.int64)
+    e_max = np.zeros(cfg.unet_depth + 1, np.int64)
+    for path in all_files:
+        with h5py.File(path, "r") as f:
+            cells = np.asarray(f["cells"][0])
+            pos = np.asarray(f["mesh_pos"][0], np.float64)
+        edges = to_flat_edge(cells, cfg.mesh_type)
+        name = os.path.splitext(os.path.basename(path))[0]
+        levels = load_or_build_levels(
+            os.path.dirname(path), name, edges, cfg.unet_depth, pos.shape[0], pos
+        )
+        for l, g in enumerate(levels.graphs):
+            n_max[l] = max(n_max[l], g.num_nodes)
+            e_max[l] = max(e_max[l], g.flat_edges.shape[1])
+
+    m = cfg.pad_multiple
+    node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
+    edge_buckets = [int(-(-max(e, 1) // m) * m) for e in e_max]
+    with open(plan_path, "w") as f:
+        json.dump(
+            {
+                "n_files": len(all_files),
+                "node_buckets": node_buckets,
+                "edge_buckets": edge_buckets,
+            },
+            f,
+        )
+    return node_buckets, edge_buckets
+
+
+class TrajectorySampler:
+    """Infinite shuffled batch iterator with background prefetch threads.
+
+    Replaces DataLoader workers + InfiniteDataLooper (process boundary →
+    thread boundary: h5py/NumPy release the GIL, and batches land directly
+    in host memory ready for device transfer).
+    """
+
+    def __init__(
+        self,
+        cfg: DatasetConfig,
+        batch_size: int,
+        num_workers: int = 2,
+        base_seed: int = 42,
+        mode: str = "train",
+        prefetch: int = 4,
+    ):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.mode = mode
+        self.files = dataset_files(cfg, mode)
+        if cfg.consist_mesh:
+            self.node_buckets = None
+            self.edge_buckets = None
+        else:
+            self.node_buckets, self.edge_buckets = plan_buckets(cfg, mode)
+        self._readers: dict = {}
+        self._readers_lock = threading.Lock()
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(
+                target=self._worker, args=(w, base_seed), daemon=True
+            )
+            for w in range(max(1, num_workers))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _get_reader(self, path: str) -> TrajectoryReader:
+        with self._readers_lock:
+            r = self._readers.get(path)
+        if r is None:
+            r = TrajectoryReader(
+                self.cfg, path, self.node_buckets, self.edge_buckets
+            )
+            with self._readers_lock:
+                self._readers[path] = r
+        return r
+
+    def _worker(self, worker_id: int, base_seed: int) -> None:
+        # Per-worker RNG (the reference hashes [train_seed, worker_id,
+        # base_seed], base.py:170-205; we fold the same ingredients).
+        rng = np.random.default_rng((base_seed, worker_id, 0xB5))
+        # Workers shard the file list (ref base.py:207-219) but resample
+        # jointly each epoch for better mixing with few files.
+        while not self._stop.is_set():
+            file_order = rng.permutation(len(self.files))
+            for fi in file_order[worker_id :: max(1, len(self._threads))]:
+                reader = self._get_reader(self.files[fi])
+                t_ids = rng.permutation(len(reader))
+                for start in range(0, len(t_ids) - self.batch_size + 1, self.batch_size):
+                    if self._stop.is_set():
+                        return
+                    batch = self._collate(
+                        [(reader, int(t)) for t in t_ids[start : start + self.batch_size]]
+                    )
+                    self._queue.put(batch)
+
+    def _collate(self, samples: List[Tuple[TrajectoryReader, int]]) -> Batch:
+        ins, tars, masks = zip(*(r.sample(t) for r, t in samples))
+        node_in = np.stack(ins)
+        node_tar = np.stack(tars)
+        node_mask = np.stack(masks)
+        if self.cfg.consist_mesh:
+            hierarchy = samples[0][0].hierarchy
+        else:
+            hierarchy = stack_hierarchies([r.hierarchy for r, _ in samples])
+        return Batch(node_in, node_tar, node_mask, hierarchy)
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        return self._queue.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def rollout_iterator(
+    cfg: DatasetConfig, base_seed: int = 42
+) -> Iterator[Tuple[TrajectoryReader, np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield whole test trajectories for closed-loop rollout (ref
+    `base.py:352-357` + `rollout.py:64`): (reader, inputs [T-1, N_pad, C_in],
+    targets [T-1, N_pad, C], masks [T-1, N_pad, 1])."""
+    if cfg.consist_mesh:
+        node_buckets = edge_buckets = None
+    else:
+        node_buckets, edge_buckets = plan_buckets(cfg, "rollout")
+    for path in dataset_files(cfg, "rollout"):
+        reader = TrajectoryReader(cfg, path, node_buckets, edge_buckets)
+        inp, tar, mask = reader.full()
+        yield reader, inp, tar, mask

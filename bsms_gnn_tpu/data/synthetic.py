@@ -1,0 +1,118 @@
+"""Synthetic trajectory generator in the converted-DeepMind h5 schema.
+
+The real MeshGraphNets datasets need network access (see
+`bsms_gnn_tpu/data/download.py`); this generator produces schema-identical
+trajectories — Delaunay-triangulated 2D meshes with smooth analytic dynamics
+— so tests, benchmarks, and end-to-end training runs work hermetically.
+Field layout matches `misc/parse_tfrecord.py:44-61` output: every field has
+a leading time axis (static fields tiled), one h5 file per trajectory under
+`{root}/{name}/{split}/`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+from scipy.spatial import Delaunay
+
+from bsms_gnn_tpu.data.datasets import NT_INFLOW, NT_NORMAL, NT_OUTFLOW, NT_WALL
+
+
+def make_delaunay_mesh(n_nodes: int, rng: np.random.Generator):
+    """Irregular triangulated mesh on the unit square; returns (pos [N,2],
+    cells [M,3], node_type [N,1])."""
+    n_side = max(4, int(np.sqrt(n_nodes) // 4))
+    # Boundary ring keeps the hull well-shaped.
+    t = np.linspace(0, 1, n_side, endpoint=False)
+    boundary = np.concatenate(
+        [
+            np.stack([t, np.zeros_like(t)], -1),
+            np.stack([np.ones_like(t), t], -1),
+            np.stack([1 - t, np.ones_like(t)], -1),
+            np.stack([np.zeros_like(t), 1 - t], -1),
+        ]
+    )
+    n_interior = max(n_nodes - boundary.shape[0], 8)
+    interior = rng.uniform(0.02, 0.98, size=(n_interior, 2))
+    pos = np.concatenate([boundary, interior])
+    tri = Delaunay(pos)
+    cells = tri.simplices.astype(np.int64)
+
+    node_type = np.full((pos.shape[0], 1), NT_NORMAL, np.int32)
+    nb = boundary.shape[0]
+    # Left edge = inflow, right edge = outflow, top/bottom = wall.
+    node_type[:nb][np.isclose(pos[:nb, 0], 0.0)] = NT_INFLOW
+    node_type[:nb][np.isclose(pos[:nb, 0], 1.0)] = NT_OUTFLOW
+    on_wall = np.isclose(pos[:nb, 1], 0.0) | np.isclose(pos[:nb, 1], 1.0)
+    node_type[:nb][on_wall & ~np.isclose(pos[:nb, 0], 0.0) & ~np.isclose(pos[:nb, 0], 1.0)] = NT_WALL
+    return pos.astype(np.float32), cells, node_type
+
+
+def _analytic_fields(pos: np.ndarray, t: float, phase: float):
+    """Traveling-vortex velocity + advected density — smooth, learnable
+    one-step dynamics."""
+    x, y = pos[:, 0], pos[:, 1]
+    vx = np.sin(2 * np.pi * (x - 0.3 * t) + phase) * np.cos(2 * np.pi * y)
+    vy = -np.cos(2 * np.pi * (x - 0.3 * t) + phase) * np.sin(2 * np.pi * y)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * (x + y - 0.5 * t) + phase)
+    return vx.astype(np.float32), vy.astype(np.float32), rho.astype(np.float32)
+
+
+def generate_trajectory(
+    n_nodes: int,
+    n_frames: int,
+    rng: np.random.Generator,
+    with_density: bool,
+    shared_mesh: Optional[tuple] = None,
+):
+    pos, cells, node_type = shared_mesh if shared_mesh else make_delaunay_mesh(n_nodes, rng)
+    n = pos.shape[0]
+    phase = float(rng.uniform(0, 2 * np.pi))
+    vel = np.zeros((n_frames, n, 2), np.float32)
+    rho = np.zeros((n_frames, n, 1), np.float32)
+    for ti in range(n_frames):
+        vx, vy, r = _analytic_fields(pos, ti * 0.05, phase)
+        vel[ti, :, 0], vel[ti, :, 1] = vx, vy
+        rho[ti, :, 0] = r
+    fields = {
+        "mesh_pos": np.broadcast_to(pos, (n_frames, n, 2)).copy(),
+        "node_type": np.broadcast_to(node_type, (n_frames, n, 1)).copy(),
+        "cells": np.broadcast_to(cells, (n_frames,) + cells.shape).copy(),
+        "velocity": vel,
+    }
+    if with_density:
+        fields["density"] = rho
+    return fields, (pos, cells, node_type)
+
+
+def generate_synthetic_dataset(
+    root: str,
+    name: str = "synthetic_airfoil",
+    n_train: int = 4,
+    n_test: int = 2,
+    n_nodes: int = 500,
+    n_frames: int = 20,
+    consistent_mesh: bool = True,
+    with_density: bool = True,
+    seed: int = 0,
+) -> str:
+    """Write a complete synthetic dataset; returns its directory."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, name)
+    shared = None
+    if consistent_mesh:
+        shared = make_delaunay_mesh(n_nodes, rng)
+    for split, count in (("train", n_train), ("test", n_test)):
+        split_dir = os.path.join(base, split)
+        os.makedirs(split_dir, exist_ok=True)
+        for i in range(count):
+            mesh = shared if consistent_mesh else None
+            n = n_nodes if consistent_mesh else int(rng.integers(n_nodes // 2, n_nodes))
+            fields, _ = generate_trajectory(n, n_frames, rng, with_density, mesh)
+            with h5py.File(os.path.join(split_dir, f"{i}.h5"), "w") as f:
+                for k, v in fields.items():
+                    f.create_dataset(k, data=v)
+    return base

@@ -60,11 +60,12 @@ class LevelGraph:
 
     @property
     def n_pad_nodes(self) -> int:
-        return self.deg.shape[0]
+        # shape[-1] so stacked (per-sample batched) hierarchies also work.
+        return self.deg.shape[-1]
 
     @property
     def n_pad_edges(self) -> int:
-        return self.senders.shape[0]
+        return self.senders.shape[-1]
 
 
 @struct.dataclass
@@ -252,6 +253,46 @@ def load_hierarchy(path: str) -> Hierarchy:
     return Hierarchy(levels=tuple(levels), transitions=tuple(transitions))
 
 
+def load_or_build_levels(
+    cache_dir: str,
+    cache_name: str,
+    flat_edges: np.ndarray,
+    num_layers: int,
+    num_nodes: int,
+    pos: np.ndarray,
+) -> BistrideLevels:
+    """Cache-through build of the *raw* (unpadded) bi-stride levels — the
+    expensive BFS/SpGEMM part. Padding is cheap and re-done per bucket spec."""
+    from bsms_gnn_tpu.graph.csr import CsrGraph
+
+    path = os.path.join(
+        cache_dir, f"{cache_name}_tpu_levels_v{CACHE_VERSION}_d{num_layers}.npz"
+    )
+    if os.path.isfile(path):
+        try:
+            with np.load(path) as z:
+                graphs = [
+                    CsrGraph(z[f"edges{l}"], int(z[f"n{l}"]))
+                    for l in range(num_layers + 1)
+                ]
+                ids = [z[f"ids{l}"] for l in range(num_layers)]
+            return BistrideLevels(graphs=graphs, ids=ids)
+        except Exception:
+            pass  # stale/corrupt cache: rebuild
+    levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
+    arrays = {}
+    for l, g in enumerate(levels.graphs):
+        arrays[f"edges{l}"] = g.flat_edges
+        arrays[f"n{l}"] = np.int64(g.num_nodes)
+    for l, kept in enumerate(levels.ids):
+        arrays[f"ids{l}"] = kept
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp + ".npz", path)
+    return levels
+
+
 def load_or_build_hierarchy(
     cache_dir: str,
     cache_name: str,
@@ -273,9 +314,10 @@ def load_or_build_hierarchy(
             return load_hierarchy(path)
         except Exception:
             pass  # stale/corrupt cache: rebuild
-    h = build_hierarchy(
-        flat_edges, num_layers, num_nodes, pos, pad_multiple, node_buckets, edge_buckets
+    levels = load_or_build_levels(
+        cache_dir, cache_name, flat_edges, num_layers, num_nodes, pos
     )
+    h = pad_levels(levels, pad_multiple, node_buckets, edge_buckets)
     os.makedirs(cache_dir, exist_ok=True)
     save_hierarchy(path, h)
     return h

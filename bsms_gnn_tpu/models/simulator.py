@@ -122,6 +122,31 @@ def simulator_forward(
     return latent_input[..., :c] + pred_delta
 
 
+def simulator_forward_auto(
+    params: SimulatorParams,
+    norm_in: NormalizerState,
+    norm_out: NormalizerState,
+    hierarchy: Hierarchy,
+    node_in,
+    node_mask,
+    cfg: ModelConfig,
+    compute_dtype=None,
+):
+    """Dispatch on the batching mode: a stacked hierarchy (per-sample graphs
+    stacked leaf-wise, index arrays 2-D) runs the forward vmapped over the
+    sample axis; a shared hierarchy broadcasts it over [B, N_pad, C]."""
+    stacked = hierarchy.levels[0].senders.ndim == 2
+    if not stacked:
+        return simulator_forward(
+            params, norm_in, norm_out, hierarchy, node_in, node_mask, cfg, compute_dtype
+        )
+    return jax.vmap(
+        lambda hh, ni, nm: simulator_forward(
+            params, norm_in, norm_out, hh, ni, nm, cfg, compute_dtype
+        )
+    )(hierarchy, node_in, node_mask)
+
+
 def simulator_warmup(
     state: SimulatorState,
     node_in,

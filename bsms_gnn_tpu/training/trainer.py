@@ -37,7 +37,7 @@ from bsms_gnn_tpu.graph.hierarchy import Hierarchy
 from bsms_gnn_tpu.models.simulator import (
     SimulatorState,
     init_simulator,
-    simulator_forward,
+    simulator_forward_auto,
     simulator_warmup,
     target_delta,
     split_node_input,
@@ -119,7 +119,7 @@ class Trainer:
 
     def _loss_fn(self, params, sim: SimulatorState, hierarchy, node_in, node_tar,
                  node_mask):
-        pred = simulator_forward(
+        pred = simulator_forward_auto(
             params, sim.norm_in, sim.norm_out, hierarchy, node_in, node_mask,
             self.cfg.model, self.compute_dtype,
         )
@@ -171,7 +171,7 @@ class Trainer:
 
     def _eval_step_impl(self, sim: SimulatorState, hierarchy: Hierarchy,
                         node_in, node_mask):
-        return simulator_forward(
+        return simulator_forward_auto(
             sim.params, sim.norm_in, sim.norm_out, hierarchy, node_in, node_mask,
             self.cfg.model, self.compute_dtype,
         )
