@@ -52,28 +52,34 @@ def init_normalizer(
     )
 
 
-def normalizer_accumulate(
-    state: NormalizerState, batched_data, mask=None
-) -> NormalizerState:
-    """One accumulation step over data reshaped to [-1, size].
-
-    `mask` (broadcastable to [..., 1]) selects valid rows; rows with mask 0
-    contribute neither to the count nor the means.
-    """
+def normalizer_row_sums(state: NormalizerState, batched_data, mask=None):
+    """(n_rows, Σx, Σx²) over data reshaped to [-1, size] — the reduction
+    half of an accumulation step, separated out so distributed callers can
+    psum the sums across shards before applying the recurrence."""
     dtype = state.e_x.dtype
     size = state.e_x.shape[0]
     data = batched_data.reshape(-1, size).astype(dtype)
     if mask is None:
-        n_rows = jnp.asarray(data.shape[0], dtype)
-        mean = jnp.mean(data, axis=0)
-        mean_sq = jnp.mean(jnp.square(data), axis=0)
-    else:
-        m = jnp.broadcast_to(
-            mask.reshape(-1, 1).astype(dtype), data.shape[:1] + (1,)
+        return (
+            jnp.asarray(data.shape[0], dtype),
+            jnp.sum(data, axis=0),
+            jnp.sum(jnp.square(data), axis=0),
         )
-        n_rows = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(data * m, axis=0) / n_rows
-        mean_sq = jnp.sum(jnp.square(data) * m, axis=0) / n_rows
+    m = jnp.broadcast_to(mask.reshape(-1, 1).astype(dtype), data.shape[:1] + (1,))
+    return (
+        jnp.sum(m),
+        jnp.sum(data * m, axis=0),
+        jnp.sum(jnp.square(data) * m, axis=0),
+    )
+
+
+def normalizer_apply_sums(
+    state: NormalizerState, n_rows, sum_x, sum_x2
+) -> NormalizerState:
+    """Apply one accumulation step from (possibly globally-reduced) sums."""
+    n_rows = jnp.maximum(n_rows, 1.0)
+    mean = sum_x / n_rows
+    mean_sq = sum_x2 / n_rows
 
     delta_w = n_rows / state.unit
     new_w = state.acc_weight + delta_w
@@ -97,6 +103,19 @@ def normalizer_accumulate(
     return jax.lax.cond(
         state.num_accumulations < state.max_accumulations, apply, skip, None
     )
+
+
+def normalizer_accumulate(
+    state: NormalizerState, batched_data, mask=None
+) -> NormalizerState:
+    """One accumulation step over data reshaped to [-1, size].
+
+    `mask` (broadcastable to [..., 1]) selects valid rows; rows with mask 0
+    contribute neither to the count nor the means. With an all-ones mask
+    this matches the reference recurrence (`normalizer.py:55-71`) exactly.
+    """
+    n_rows, sum_x, sum_x2 = normalizer_row_sums(state, batched_data, mask)
+    return normalizer_apply_sums(state, n_rows, sum_x, sum_x2)
 
 
 def normalizer_mean(state: NormalizerState):

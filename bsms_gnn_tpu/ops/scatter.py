@@ -101,21 +101,34 @@ _aggregate_edges.defvjp(_aggregate_edges_fwd, _aggregate_edges_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Public API (method ∈ {"ell", "segment"}; "pallas" routes to the Pallas
-# kernel when available, falling back to "ell")
+# Public API. `method`:
+#   "ell"          — ELL gather + dense sum, scatter-free VJPs (default);
+#   "segment"      — sorted segment-sum (parity oracle / fallback);
+#   "pallas"       — Pallas kernel when available, else "ell";
+#   "shard:<axis>" — inside `shard_map` with edge arrays sharded along
+#                    mesh axis <axis> and node arrays replicated: local
+#                    segment-sum + psum over <axis> (the edge-partitioned
+#                    graph-parallel path, SURVEY.md §5.7).
 # ---------------------------------------------------------------------------
 
 
+def _shard_axis(method: str):
+    return method.split(":", 1)[1] if method.startswith("shard:") else None
+
+
 def gather_send(level: LevelGraph, x, method: str = "ell"):
-    """x_i = x[senders] (reference `ops/basic.py:70-72` gather)."""
-    if method == "segment":
+    """x_i = x[senders] (reference `ops/basic.py:70-72` gather).
+
+    Under "shard:<axis>", x is replicated and senders are an edge shard, so
+    the gather is purely local."""
+    if method == "segment" or method.startswith("shard:"):
         return _take(x, level.senders)
     return _gather_edges(x, level.senders, level.send_ell)
 
 
 def gather_recv(level: LevelGraph, x, method: str = "ell"):
     """x_j = x[receivers]."""
-    if method == "segment":
+    if method == "segment" or method.startswith("shard:"):
         return _take(x, level.receivers)
     return _gather_edges(x, level.receivers, level.recv_ell)
 
@@ -123,6 +136,9 @@ def gather_recv(level: LevelGraph, x, method: str = "ell"):
 def aggregate_recv(level: LevelGraph, feat, method: str = "ell"):
     """Σ_{e: recv(e)=n} feat[e] — the `scatter_sum(…, j)` of
     reference `ops/basic.py:94,138`."""
+    axis = _shard_axis(method)
+    if axis is not None:
+        return jax.lax.psum(_seg_sum(feat, level.receivers, level.n_pad_nodes), axis)
     if method == "segment":
         return _seg_sum(feat, level.receivers, level.n_pad_nodes)
     if method == "pallas":
@@ -138,6 +154,9 @@ def aggregate_send(level: LevelGraph, feat, method: str = "ell"):
     """Σ_{e: send(e)=n} feat[e] — the reverse-direction scatter of the
     up-pass weighted conv (reference `ops/basic.py:136-138` with
     aggragating=False)."""
+    axis = _shard_axis(method)
+    if axis is not None:
+        return jax.lax.psum(_seg_sum(feat, level.senders, level.n_pad_nodes), axis)
     if method == "segment":
         return _seg_sum(feat, level.senders, level.n_pad_nodes)
     return _aggregate_edges(feat, level.send_ell, level.senders)

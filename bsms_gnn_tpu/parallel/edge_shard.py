@@ -1,0 +1,89 @@
+"""Edge-partitioned graph parallelism via GSPMD sharding annotations.
+
+The mesh has axes ('data', 'graph'). Batch arrays shard over 'data'; every
+level's edge-indexed arrays (senders/receivers and the ELL gather tables'
+row dim) shard over 'graph'. The train step itself is the *same* program as
+single-chip — `jit` with in_shardings lets XLA's SPMD partitioner slice the
+edge MLPs and segment/ELL aggregations across chips and insert the
+all-gather / reduce-scatter collectives over ICI, including the correct
+gradient transposes (a manual shard_map formulation must hand-split
+"replicated node compute" from "local edge compute" cotangents; GSPMD does
+this for free — the scaling-book recipe: pick a mesh, annotate, let XLA
+insert collectives, profile, iterate).
+
+This is the graph analog of context/sequence parallelism (SURVEY.md §5.7):
+the scaling axis is mesh size, letting one giant graph span chips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bsms_gnn_tpu.graph.hierarchy import Hierarchy
+
+
+def strip_ell(h: Hierarchy) -> Hierarchy:
+    """Hierarchy without ELL tables (for the "segment" aggregation path,
+    where shipping [N, K] tables would waste HBM)."""
+    import numpy as np
+
+    dummy = np.zeros((1, 1), np.int32)
+    levels = tuple(l.replace(recv_ell=dummy, send_ell=dummy) for l in h.levels)
+    return Hierarchy(levels=levels, transitions=h.transitions)
+
+
+def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
+    """Hierarchy-shaped pytree of NamedShardings: edge-indexed leading dims
+    shard over 'graph'; node-indexed arrays replicate (they are small next
+    to edge features and are gathered from everywhere)."""
+    edge = NamedSharding(mesh, P("graph"))
+    ell = NamedSharding(mesh, P())  # ELL tables: replicated rows
+    repl = NamedSharding(mesh, P())
+    levels = tuple(
+        l.replace(
+            senders=edge,
+            receivers=edge,
+            recv_ell=ell if l.recv_ell.shape[0] > 1 else repl,
+            send_ell=ell if l.send_ell.shape[0] > 1 else repl,
+            deg=repl,
+            node_mask=repl,
+        )
+        for l in h.levels
+    )
+    transitions = tuple(
+        t.replace(pool_ids=repl, unpool_inv=repl) for t in h.transitions
+    )
+    return Hierarchy(levels=levels, transitions=transitions)
+
+
+def shard_hierarchy(h: Hierarchy, mesh: Mesh) -> Hierarchy:
+    """Place a (host or device) hierarchy according to `hierarchy_shardings`."""
+    return jax.tree_util.tree_map(
+        jax.device_put, h, hierarchy_shardings(h, mesh)
+    )
+
+
+def make_spmd_train_step(trainer, mesh: Mesh, hierarchy: Hierarchy) -> Callable:
+    """Compile the trainer's step over `mesh` with data+graph shardings.
+
+    Returns step(state, hierarchy, node_in, node_tar, node_mask, key) →
+    (state, loss). Pass a hierarchy placed with `shard_hierarchy`; batch
+    arrays shard over 'data' (leading axis must divide the axis size).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    h_shard = hierarchy_shardings(hierarchy, mesh)
+    return jax.jit(
+        trainer._train_step_impl,
+        donate_argnums=(0,),
+        in_shardings=(repl, h_shard, data, data, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+# Backwards-compat name used elsewhere in the package.
+make_sharded_train_step = make_spmd_train_step
+shard_hierarchy_specs = hierarchy_shardings
