@@ -100,8 +100,10 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], Li
             e_max[l] = max(e_max[l], g.flat_edges.shape[1])
 
     m = cfg.pad_multiple
+    from bsms_gnn_tpu.graph.hierarchy import EDGE_ALIGN
+    me = max(m, EDGE_ALIGN)
     node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
-    edge_buckets = [int(-(-max(e, 1) // m) * m) for e in e_max]
+    edge_buckets = [int(-(-max(e, 1) // me) * me) for e in e_max]
     with open(plan_path, "w") as f:
         json.dump(
             {

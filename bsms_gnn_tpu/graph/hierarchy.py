@@ -37,7 +37,11 @@ from flax import struct
 from bsms_gnn_tpu.graph.bistride import BistrideLevels, build_bistride_levels
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 3
+CACHE_VERSION = 5
+
+# Edge arrays align to the Pallas segment-sum DMA chunk (8×128 edges) so the
+# kernel's aligned chunking is always in-bounds; ≤1023 pad edges per level.
+EDGE_ALIGN = 1024
 
 
 def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
@@ -50,7 +54,8 @@ class LevelGraph:
     """One level's padded static graph. All index arrays are int32."""
 
     senders: np.ndarray  # [E_pad] receiver-sorted
-    receivers: np.ndarray  # [E_pad] non-decreasing over real edges
+    receivers: np.ndarray  # [E_pad] non-decreasing (pad edges at the end)
+    recv_indptr: np.ndarray  # [N_pad+1] CSR row offsets into the sorted edges
     recv_ell: np.ndarray  # [N_pad, K_in] edge slots per receiver (pad = E_pad)
     send_ell: np.ndarray  # [N_pad, K_out] edge slots per sender (pad = E_pad)
     deg: np.ndarray  # [N_pad] f32 out-degree over real edges (>= 1)
@@ -118,6 +123,9 @@ def _pad_level(
 
     recv_ell = _build_ell(receivers, n_pad, e_pad, e)
     send_ell = _build_ell(senders, n_pad, e_pad, e)
+    # Full CSR row offsets over the padded, receiver-sorted edge list (pad
+    # edges live on the pad node, so the array stays non-decreasing).
+    recv_indptr = np.searchsorted(receivers, np.arange(n_pad + 1)).astype(np.int32)
 
     deg = np.zeros(n_pad, dtype=np.float32)
     deg[:n] = g.degrees().astype(np.float32)
@@ -129,6 +137,7 @@ def _pad_level(
     return LevelGraph(
         senders=senders,
         receivers=receivers,
+        recv_indptr=recv_indptr,
         recv_ell=recv_ell,
         send_ell=send_ell,
         deg=deg,
@@ -178,7 +187,7 @@ def pad_levels(
             e_pad = edge_buckets[l]
             assert e_pad >= e, f"edge bucket {e_pad} too small at level {l}"
         else:
-            e_pad = _pad_to(max(e, 1), pad_multiple)
+            e_pad = _pad_to(max(e, 1), max(pad_multiple, EDGE_ALIGN))
         n_pads.append(n_pad)
         e_pads.append(e_pad)
 
@@ -215,6 +224,7 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
     for l, g in enumerate(h.levels):
         arrays[f"l{l}_senders"] = g.senders
         arrays[f"l{l}_receivers"] = g.receivers
+        arrays[f"l{l}_recv_indptr"] = g.recv_indptr
         arrays[f"l{l}_recv_ell"] = g.recv_ell
         arrays[f"l{l}_send_ell"] = g.send_ell
         arrays[f"l{l}_deg"] = g.deg
@@ -238,6 +248,7 @@ def load_hierarchy(path: str) -> Hierarchy:
                 LevelGraph(
                     senders=z[f"l{l}_senders"],
                     receivers=z[f"l{l}_receivers"],
+                    recv_indptr=z[f"l{l}_recv_indptr"],
                     recv_ell=z[f"l{l}_recv_ell"],
                     send_ell=z[f"l{l}_send_ell"],
                     deg=z[f"l{l}_deg"],

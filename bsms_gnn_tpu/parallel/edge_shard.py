@@ -46,6 +46,7 @@ def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
         l.replace(
             senders=edge,
             receivers=edge,
+            recv_indptr=repl,
             recv_ell=ell if l.recv_ell.shape[0] > 1 else repl,
             send_ell=ell if l.send_ell.shape[0] > 1 else repl,
             deg=repl,
