@@ -80,3 +80,18 @@ def mlp_apply(params: MLPParams, x, compute_dtype=None):
     if params.layer_normalized:
         x = layer_norm(x)
     return x
+
+
+def mlp_apply_tail(params: MLPParams, pre_act, compute_dtype=None):
+    """Finish an MLP whose first layer's pre-activation was computed by the
+    caller (the split-first-layer trick: concat(xs) @ W == Σ xs_k @ W_k, so
+    node-side pieces are transformed before the edge gather and the wide
+    concatenated input never materializes)."""
+    x = jax.nn.relu(pre_act)
+    n = len(params.weights)
+    for i in range(1, n - 1):
+        x = jax.nn.relu(dense(x, params.weights[i], params.biases[i], compute_dtype))
+    x = dense(x, params.weights[-1], params.biases[-1], compute_dtype)
+    if params.layer_normalized:
+        x = layer_norm(x)
+    return x

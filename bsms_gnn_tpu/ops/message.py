@@ -51,23 +51,41 @@ def gmp_apply(
     compute_dtype=None,
 ):
     """One GMP step. x: [..., N_pad, C]; pos: [..., N_pad, pos_dim] or
-    [N_pad, pos_dim] broadcast against batched x (ref `ops/basic.py:87-88`)."""
-    x_i = gather_send(level, x, method)
-    x_j = gather_recv(level, x, method)
+    [N_pad, pos_dim] broadcast against batched x (ref `ops/basic.py:87-88`).
+
+    The math is the reference's edge MLP over [Δpos, ‖Δpos‖, x_i, x_j]
+    followed by receiver-sum and a node MLP over [x, aggr] — but both first
+    layers are *split by input block* (concat(a,b) @ W ≡ a @ Wa + b @ Wb):
+    the x_i/x_j transforms run per NODE before the gather (E/N ≈ 6× fewer
+    rows through the widest matmul) and the wide [E, 2C+pos+1] / [N, 2C]
+    concatenations never hit HBM."""
+    from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
+
+    c = x.shape[-1]
+    pd1 = pos.shape[-1] + 1  # fiber width: Δpos ⧺ ‖Δpos‖
+    w1 = params.mlp_edge.weights[0]
+    wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
+
+    # Node-side pre-transforms, then gather the 128-wide activations.
+    z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
+    z_j = gather_recv(level, dense(x, wj, 0.0, compute_dtype), method)
+
     p_i = gather_send(level, pos, method)
     p_j = gather_recv(level, pos, method)
-
     direction = p_i - p_j
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     fiber = jnp.concatenate([direction, norm], axis=-1)
-    if x.ndim == 3 and pos.ndim == 2:
-        fiber = jnp.broadcast_to(fiber, x.shape[:-2] + fiber.shape)
-    edge_in = jnp.concatenate([fiber, x_i, x_j], axis=-1)
+    pre = dense(fiber, wf, params.mlp_edge.biases[0], compute_dtype) + z_i + z_j
 
-    edge_embedding = mlp_apply(params.mlp_edge, edge_in, compute_dtype)
+    edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
     aggr = aggregate_recv(level, edge_embedding, method)
-    node_in = jnp.concatenate([x, aggr], axis=-1)
-    return mlp_apply(params.mlp_node, node_in, compute_dtype) + x
+
+    wn = params.mlp_node.weights[0]
+    node_pre = (
+        dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
+        + dense(aggr, wn[c:], 0.0, compute_dtype)
+    )
+    return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
 
 
 def cal_ew(level: LevelGraph, w, method: str = "ell"):
