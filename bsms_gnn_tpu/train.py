@@ -23,7 +23,11 @@ import numpy as np
 from bsms_gnn_tpu.config import Config, load_config, to_yaml
 from bsms_gnn_tpu.data import TrajectorySampler
 from bsms_gnn_tpu.training import Trainer
-from bsms_gnn_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+from bsms_gnn_tpu.training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from bsms_gnn_tpu.utils import MetricLogger, TicToc, board_loss, print_error_table
 
 
@@ -48,11 +52,15 @@ def run_train(cfg: Config) -> None:
     logger = MetricLogger(cfg.board, cfg.project)
 
     trainer = Trainer(cfg)
-    if cfg.restore_dir and cfg.restore_step >= 0:
-        trainer.state = restore_checkpoint(
-            cfg.restore_dir, cfg.restore_step, trainer.state
-        )
-        print(f"restored step {cfg.restore_step} from {cfg.restore_dir}", flush=True)
+    if cfg.restore_dir:
+        # restore_step=-1 auto-resumes from the newest checkpoint (the
+        # failure-recovery path the reference lacks, SURVEY.md §5.3/5.4).
+        step = cfg.restore_step
+        if step < 0:
+            step = latest_step(cfg.restore_dir)
+        if step >= 0:
+            trainer.state = restore_checkpoint(cfg.restore_dir, step, trainer.state)
+            print(f"restored step {step} from {cfg.restore_dir}", flush=True)
 
     train_sampler = TrajectorySampler(
         cfg.datasets, cfg.batch, cfg.dataset_workers, cfg.base_seed, "train"
