@@ -28,7 +28,11 @@ def build_problem(n_nodes: int = 5000, depth: int = 7, seed: int = 0):
     from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
     from bsms_gnn_tpu.graph.mesh import to_flat_edge
 
-    cfg = load_config([f"model.unet_depth={depth}", f"datasets.unet_depth={depth}"])
+    cfg = load_config([
+        f"model.unet_depth={depth}",
+        f"datasets.unet_depth={depth}",
+        "model.aggregation=pallas",  # sorted-CSR Pallas kernel on the hot path
+    ])
     pos, cells, node_type = make_delaunay_mesh(n_nodes, np.random.default_rng(seed))
     edges = to_flat_edge(cells, "tri")
     h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))

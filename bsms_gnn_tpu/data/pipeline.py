@@ -84,8 +84,10 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], Li
         if plan.get("n_files") == len(all_files):
             return plan["node_buckets"], plan["edge_buckets"]
 
+    from bsms_gnn_tpu.graph.hierarchy import NODE_BLOCK, layout_edge_count
+
     n_max = np.zeros(cfg.unet_depth + 1, np.int64)
-    e_max = np.zeros(cfg.unet_depth + 1, np.int64)
+    per_file_levels = []
     for path in all_files:
         with h5py.File(path, "r") as f:
             cells = np.asarray(f["cells"][0])
@@ -95,15 +97,20 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], Li
         levels = load_or_build_levels(
             os.path.dirname(path), name, edges, cfg.unet_depth, pos.shape[0], pos
         )
+        per_file_levels.append(levels)
         for l, g in enumerate(levels.graphs):
             n_max[l] = max(n_max[l], g.num_nodes)
-            e_max[l] = max(e_max[l], g.flat_edges.shape[1])
 
-    m = cfg.pad_multiple
-    from bsms_gnn_tpu.graph.hierarchy import EDGE_ALIGN
-    me = max(m, EDGE_ALIGN)
+    m = max(cfg.pad_multiple, NODE_BLOCK)
     node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
-    edge_buckets = [int(-(-max(e, 1) // me) * me) for e in e_max]
+    # Edge buckets must cover every mesh's block-aligned layout exactly.
+    edge_buckets = [0] * (cfg.unet_depth + 1)
+    for levels in per_file_levels:
+        for l, g in enumerate(levels.graphs):
+            counts = np.bincount(g.flat_edges[1], minlength=node_buckets[l])
+            edge_buckets[l] = max(
+                edge_buckets[l], layout_edge_count(counts, node_buckets[l])
+            )
     with open(plan_path, "w") as f:
         json.dump(
             {

@@ -37,11 +37,14 @@ from flax import struct
 from bsms_gnn_tpu.graph.bistride import BistrideLevels, build_bistride_levels
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 5
+CACHE_VERSION = 6
 
-# Edge arrays align to the Pallas segment-sum DMA chunk (8×128 edges) so the
-# kernel's aligned chunking is always in-bounds; ≤1023 pad edges per level.
-EDGE_ALIGN = 1024
+# Edge chunk granularity: every 128-node block's edge segment is padded to a
+# multiple of EDGE_BLOCK slots, so the Pallas segment-sum can stream
+# grid-aligned chunks (auto-pipelined) and map each chunk to exactly one
+# 128-row output block.
+EDGE_BLOCK = 128
+NODE_BLOCK = 128
 
 
 def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
@@ -53,13 +56,18 @@ def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
 class LevelGraph:
     """One level's padded static graph. All index arrays are int32."""
 
-    senders: np.ndarray  # [E_pad] receiver-sorted
-    receivers: np.ndarray  # [E_pad] non-decreasing (pad edges at the end)
-    recv_indptr: np.ndarray  # [N_pad+1] CSR row offsets into the sorted edges
+    # Block-aligned receiver-sorted edge layout: real edges are grouped by
+    # their receiver's 128-node block, each block segment padded to a
+    # multiple of EDGE_BLOCK slots (pad slots self-loop on the pad node, the
+    # last row of the last block). Real slots are flagged by edge_mask.
+    senders: np.ndarray  # [E_pad]
+    receivers: np.ndarray  # [E_pad] non-decreasing within each block
+    recv_indptr: np.ndarray  # [N_pad+1] layout offset of each node's edges
     recv_ell: np.ndarray  # [N_pad, K_in] edge slots per receiver (pad = E_pad)
     send_ell: np.ndarray  # [N_pad, K_out] edge slots per sender (pad = E_pad)
     deg: np.ndarray  # [N_pad] f32 out-degree over real edges (>= 1)
     node_mask: np.ndarray  # [N_pad, 1] f32, 1.0 for real nodes
+    edge_mask: np.ndarray  # [E_pad] f32, 1.0 for real edge slots
     n_nodes: int = struct.field(pytree_node=False)  # real N
     n_edges: int = struct.field(pytree_node=False)  # real E
 
@@ -91,10 +99,10 @@ class Hierarchy:
         return len(self.transitions)
 
 
-def _build_ell(index: np.ndarray, n_pad: int, e_pad: int, n_real_edges: int) -> np.ndarray:
-    """ELL table: row n lists the real-edge slots whose `index` equals n,
-    padded with e_pad. K = max multiplicity over real nodes."""
-    idx = index[:n_real_edges].astype(np.int64)
+def _build_ell(index: np.ndarray, slots: np.ndarray, n_pad: int, e_pad: int) -> np.ndarray:
+    """ELL table: row n lists the layout slots (from `slots`) whose `index`
+    value equals n, padded with e_pad. K = max multiplicity over nodes."""
+    idx = np.asarray(index, np.int64)
     counts = np.bincount(idx, minlength=n_pad)
     k = max(int(counts.max()) if counts.size else 0, 1)
     ell = np.full((n_pad, k), e_pad, dtype=np.int32)
@@ -103,29 +111,69 @@ def _build_ell(index: np.ndarray, n_pad: int, e_pad: int, n_real_edges: int) -> 
     # Position of each edge within its node's slot list.
     starts = np.zeros(n_pad + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    slot = np.arange(len(idx)) - starts[sorted_idx]
-    ell[sorted_idx, slot] = order.astype(np.int32)
+    pos = np.arange(len(idx)) - starts[sorted_idx]
+    ell[sorted_idx, pos] = slots[order].astype(np.int32)
     return ell
 
 
+def layout_edge_count(edge_counts_per_node: np.ndarray, n_pad: int) -> int:
+    """Padded layout size for given per-node real edge counts: per 128-node
+    block, ceil(max(count,1)/EDGE_BLOCK)·EDGE_BLOCK slots (≥1 chunk each)."""
+    counts = np.zeros(n_pad, np.int64)
+    counts[: len(edge_counts_per_node)] = edge_counts_per_node
+    blocks = counts.reshape(-1, NODE_BLOCK).sum(axis=1)
+    seg = np.maximum(blocks, 1)
+    seg = -(-seg // EDGE_BLOCK) * EDGE_BLOCK
+    return int(seg.sum())
+
+
 def _pad_level(
-    g: CsrGraph, n_pad: int, e_pad: int
+    g: CsrGraph, n_pad: int, e_pad_min: int
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
-    assert e_pad >= e
-    # Receiver-sorted real edges, then pad edges self-looped on the pad node.
+    assert n_pad % NODE_BLOCK == 0
+
+    # Receiver-sorted real edges.
     order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
+    r_sorted = g.flat_edges[1][order]
+    s_sorted = g.flat_edges[0][order]
+
+    # Block-aligned layout: per 128-node block, its edges then pad slots up
+    # to a multiple of EDGE_BLOCK (at least one chunk per block so every
+    # output block is visited by the Pallas kernel).
+    recv_counts = np.bincount(r_sorted, minlength=n_pad)
+    block_counts = recv_counts.reshape(-1, NODE_BLOCK).sum(axis=1)
+    seg_lens = -(-np.maximum(block_counts, 1) // EDGE_BLOCK) * EDGE_BLOCK
+    e_layout = int(seg_lens.sum())
+    e_pad = max(e_layout, -(-e_pad_min // EDGE_BLOCK) * EDGE_BLOCK)
+
+    block_starts = np.zeros(len(seg_lens) + 1, np.int64)
+    np.cumsum(seg_lens, out=block_starts[1:])
+
+    # Slot position of each sorted real edge: block start + rank in block.
+    edge_block = r_sorted // NODE_BLOCK
+    cum_before = np.zeros(len(seg_lens) + 1, np.int64)
+    np.cumsum(block_counts, out=cum_before[1:])
+    slots = block_starts[edge_block] + (np.arange(e) - cum_before[edge_block])
+
     senders = np.full(e_pad, n_pad - 1, dtype=np.int32)
     receivers = np.full(e_pad, n_pad - 1, dtype=np.int32)
-    senders[:e] = g.flat_edges[0][order]
-    receivers[:e] = g.flat_edges[1][order]
+    edge_mask = np.zeros(e_pad, np.float32)
+    senders[slots] = s_sorted
+    receivers[slots] = r_sorted
+    edge_mask[slots] = 1.0
 
-    recv_ell = _build_ell(receivers, n_pad, e_pad, e)
-    send_ell = _build_ell(senders, n_pad, e_pad, e)
-    # Full CSR row offsets over the padded, receiver-sorted edge list (pad
-    # edges live on the pad node, so the array stays non-decreasing).
-    recv_indptr = np.searchsorted(receivers, np.arange(n_pad + 1)).astype(np.int32)
+    # Per-node layout offsets: block start + cumulative count within block.
+    within = recv_counts.reshape(-1, NODE_BLOCK)
+    within_cum = np.cumsum(within, axis=1) - within
+    recv_indptr = np.zeros(n_pad + 1, np.int64)
+    recv_indptr[:n_pad] = (block_starts[:-1, None] + within_cum).reshape(-1)
+    recv_indptr[n_pad] = e_pad
+    recv_indptr = recv_indptr.astype(np.int32)
+
+    recv_ell = _build_ell(r_sorted, slots, n_pad, e_pad)
+    send_ell = _build_ell(s_sorted, slots, n_pad, e_pad)
 
     deg = np.zeros(n_pad, dtype=np.float32)
     deg[:n] = g.degrees().astype(np.float32)
@@ -142,6 +190,7 @@ def _pad_level(
         send_ell=send_ell,
         deg=deg,
         node_mask=node_mask,
+        edge_mask=edge_mask,
         n_nodes=n,
         n_edges=e,
     )
@@ -174,26 +223,36 @@ def pad_levels(
     edge_buckets: Optional[List[int]] = None,
 ) -> Hierarchy:
     graphs, ids = levels.graphs, levels.ids
+    node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
     n_pads = []
     e_pads = []
     for l, g in enumerate(graphs):
         if node_buckets is not None:
             n_pad = node_buckets[l]
             assert n_pad > g.num_nodes, f"node bucket {n_pad} too small at level {l}"
+            assert n_pad % NODE_BLOCK == 0, f"node bucket {n_pad} not {NODE_BLOCK}-aligned"
         else:
-            n_pad = _pad_to(g.num_nodes + 1, pad_multiple)
+            n_pad = _pad_to(g.num_nodes + 1, node_multiple)
         e = g.flat_edges.shape[1]
         if edge_buckets is not None:
             e_pad = edge_buckets[l]
             assert e_pad >= e, f"edge bucket {e_pad} too small at level {l}"
         else:
-            e_pad = _pad_to(max(e, 1), max(pad_multiple, EDGE_ALIGN))
+            e_pad = 0  # layout decides
         n_pads.append(n_pad)
         e_pads.append(e_pad)
 
     lvl_graphs = tuple(
         _pad_level(g, n_pads[l], e_pads[l]) for l, g in enumerate(graphs)
     )
+    if edge_buckets is not None:
+        # Stacking across meshes requires every mesh to land on the exact
+        # bucket size, i.e. the bucket must cover the block-aligned layout.
+        for l, g in enumerate(lvl_graphs):
+            assert g.n_pad_edges == _pad_to(edge_buckets[l], EDGE_BLOCK), (
+                f"level {l}: layout {g.n_pad_edges} exceeds edge bucket "
+                f"{edge_buckets[l]}"
+            )
 
     transitions = []
     for l, kept in enumerate(ids):
@@ -229,6 +288,7 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
         arrays[f"l{l}_send_ell"] = g.send_ell
         arrays[f"l{l}_deg"] = g.deg
         arrays[f"l{l}_node_mask"] = g.node_mask
+        arrays[f"l{l}_edge_mask"] = g.edge_mask
         arrays[f"l{l}_meta"] = np.array([g.n_nodes, g.n_edges], dtype=np.int64)
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
@@ -253,6 +313,7 @@ def load_hierarchy(path: str) -> Hierarchy:
                     send_ell=z[f"l{l}_send_ell"],
                     deg=z[f"l{l}_deg"],
                     node_mask=z[f"l{l}_node_mask"],
+                    edge_mask=z[f"l{l}_edge_mask"],
                     n_nodes=int(meta[0]),
                     n_edges=int(meta[1]),
                 )

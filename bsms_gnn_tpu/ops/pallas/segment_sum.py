@@ -1,24 +1,28 @@
 """Pallas TPU kernel: sorted-CSR segment-sum (edge→node aggregation).
 
 The hot aggregation of every GMP block (reference `scatter_sum` to receiver,
-`src/ops/basic.py:94`) over the offline receiver-sorted padded edge list.
+`src/ops/basic.py:94`) over the offline block-aligned receiver-sorted edge
+layout (`graph/hierarchy.py`: every 128-node block's edge segment is padded
+to 128-edge chunks, so each chunk maps to exactly one 128-row output block).
 
 Design (SURVEY.md §7.2 item 8):
-  * grid over node blocks of BN=128 rows; block i owns the contiguous edge
-    range [indptr[i·BN], indptr[(i+1)·BN]) — block starts ride in as scalar
-    prefetch so DMA offsets are known before the body runs;
-  * edge features stay in HBM and stream through a double-buffered VMEM
-    scratch in BE=128-edge chunks aligned to the edge array (aligned ⇒ every
-    DMA is in-bounds; boundary chunks are masked). Receiver ids are packed
-    offline-shape [E/128, 128] so each chunk's ids arrive as one [1, 128]
-    row — edges live on the *lane* axis and no cross-lane relayout is ever
-    needed;
-  * in-chunk accumulation uses the MXU: acc += onehot @ chunk, where
-    onehot[n, e] = (node_iota[n] == receiver_local[e]) is a broadcast
-    compare of a [BN, 1] iota against the [1, 128] receiver row — a scatter
-    becomes a [BN, 128] × [128, C] matmul (the VPU cannot scatter; the
-    systolic array eats the one-hot for free);
-  * lanes outside [start, end) get receiver −1 → an all-zero one-hot column.
+  * grid over edge chunks of 128; Pallas streams the [128, C] feature blocks
+    and [1, 128] packed receiver rows through VMEM with automatic
+    double-buffering — no manual DMA, and chunk N+1 prefetches while chunk N
+    computes (this is what the block-aligned layout buys);
+  * the output BlockSpec's index map reads a scalar-prefetched
+    chunk→node-block table, so consecutive chunks of the same block revisit
+    one VMEM tile (zeroed on first visit) and spill to HBM only on block
+    change;
+  * in-chunk accumulation uses the MXU: out += onehot @ chunk, where
+    onehot[n, e] = (node_iota[n] == receiver_local[e]) — a broadcast compare
+    of a [BN, 1] iota against the [1, 128] receiver row; a scatter becomes a
+    [128, 128] × [128, C] matmul (the VPU cannot scatter; the systolic array
+    eats the one-hot for free). HIGHEST precision keeps f32 mantissas (the
+    MXU truncates f32 operands to bf16 by default);
+  * pad slots carry receiver = pad-node row, which falls outside every block
+    except the last → zero one-hot column (the last block accumulates pad
+    garbage onto the pad node, which nothing reads).
 
 The backward of the aggregation is a plain gather by receiver (custom_vjp).
 
@@ -34,86 +38,31 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-BN = 128  # node rows per grid step
-GROUP = 128  # edges per one-hot matmul (= one packed receiver row)
-GROUPS_PER_CHUNK = 8
-BE = GROUP * GROUPS_PER_CHUNK  # edges per DMA chunk
+BN = 128  # node rows per output block
+BE = 128  # edges per chunk (= one packed receiver row)
 
 
 def _make_kernel():
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(block_starts_ref, feat_hbm, recv_hbm, out_ref,
-               acc_ref, feat_buf, recv_buf, fsems, rsems):
-        i = pl.program_id(0)
-        start = block_starts_ref[i]
-        end = block_starts_ref[i + 1]
-        base_row = i * BN
+    def kernel(chunk_block_ref, first_ref, feat_ref, recv_ref, out_ref):
+        c = pl.program_id(0)
+        base_row = chunk_block_ref[c] * BN
 
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        c0 = start // BE
-        c1 = pl.cdiv(end, BE)
-
-        def feat_dma(slot, chunk):
-            return pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(chunk * BE, BE), :],
-                feat_buf.at[slot],
-                fsems.at[slot],
-            )
-
-        def recv_dma(slot, chunk):
-            return pltpu.make_async_copy(
-                recv_hbm.at[pl.ds(chunk * GROUPS_PER_CHUNK, GROUPS_PER_CHUNK), :],
-                recv_buf.at[slot],
-                rsems.at[slot],
-            )
-
-        @pl.when(c1 > c0)
+        @pl.when(first_ref[c] == 1)
         def _():
-            feat_dma(0, c0).start()
-            recv_dma(0, c0).start()
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-            def body(chunk, _):
-                slot = (chunk - c0) % 2
-                nxt = (chunk - c0 + 1) % 2
-
-                @pl.when(chunk + 1 < c1)
-                def _():
-                    feat_dma(nxt, chunk + 1).start()
-                    recv_dma(nxt, chunk + 1).start()
-
-                feat_dma(slot, chunk).wait()
-                recv_dma(slot, chunk).wait()
-
-                node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, GROUP), 0)
-                for g in range(GROUPS_PER_CHUNK):
-                    # Absolute edge index per lane; mask lanes outside the
-                    # block's range.
-                    offs = chunk * BE + g * GROUP + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, GROUP), 1
-                    )
-                    in_range = (offs >= start) & (offs < end)
-                    r_local = jnp.where(
-                        in_range, recv_buf[slot, pl.ds(g, 1), :] - base_row, -1
-                    )
-                    onehot = (node_iota == r_local).astype(jnp.float32)
-                    # HIGHEST precision: the TPU MXU truncates f32 operands
-                    # to bf16 by default; the one-hot is exact but the
-                    # features would lose mantissa bits.
-                    acc_ref[:] += jax.lax.dot_general(
-                        onehot,
-                        feat_buf[slot, pl.ds(g * GROUP, GROUP), :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                return 0
-
-            jax.lax.fori_loop(c0, c1, body, 0)
-
-        out_ref[:] = acc_ref[:]
+        r_local = recv_ref[:] - base_row  # [1, BE]
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
+        out_ref[:] += jax.lax.dot_general(
+            onehot,
+            feat_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     return kernel
 
@@ -123,24 +72,19 @@ def _get_call(e_pad: int, n_pad: int, c: int, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    num_blocks = n_pad // BN
+    num_chunks = e_pad // BE
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_blocks,),
+        num_scalar_prefetch=2,  # chunk→block table, first-visit flags
+        grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # feat [E_pad, C] in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # recv packed [E_pad/128, 128]
+            pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (BN, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (BN, c),
+            lambda i, chunk_block, first: (chunk_block[i], 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((BN, c), jnp.float32),  # accumulator
-            pltpu.VMEM((2, BE, c), jnp.float32),  # feature double buffer
-            pltpu.VMEM((2, GROUPS_PER_CHUNK, GROUP), jnp.int32),  # receiver rows
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     return pl.pallas_call(
         _make_kernel(),
@@ -168,12 +112,25 @@ def _supported(level, feat) -> bool:
 
 def _forward(level, feat):
     interpret = jax.default_backend() != "tpu"
-    block_starts = level.recv_indptr[::BN].astype(jnp.int32)
-    call = _get_call(
-        level.n_pad_edges, level.n_pad_nodes, feat.shape[-1], interpret
+    n_pad, e_pad = level.n_pad_nodes, level.n_pad_edges
+    num_chunks = e_pad // BE
+    # Chunk → owning node block, from the layout's block starts
+    # (recv_indptr at block boundaries; tail chunks land on the last block).
+    block_starts = level.recv_indptr[::BN]  # [num_blocks + 1]
+    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * BE
+    chunk_block = jnp.searchsorted(
+        block_starts[1:], chunk_offs, side="right"
+    ).astype(jnp.int32)
+    chunk_block = jnp.minimum(chunk_block, n_pad // BN - 1)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (chunk_block[1:] != chunk_block[:-1]).astype(jnp.int32),
+        ]
     )
-    recv_packed = level.receivers.reshape(-1, GROUP).astype(jnp.int32)
-    return call(block_starts, feat.astype(jnp.float32), recv_packed)
+    call = _get_call(e_pad, n_pad, feat.shape[-1], interpret)
+    recv_packed = level.receivers.reshape(-1, BE).astype(jnp.int32)
+    return call(chunk_block, first, feat.astype(jnp.float32), recv_packed)
 
 
 def segment_sum_pallas(level, feat) -> Optional[jax.Array]:

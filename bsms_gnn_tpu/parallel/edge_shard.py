@@ -51,6 +51,7 @@ def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
             send_ell=ell if l.send_ell.shape[0] > 1 else repl,
             deg=repl,
             node_mask=repl,
+            edge_mask=edge,
         )
         for l in h.levels
     )

@@ -147,24 +147,34 @@ def test_hierarchy_padding_and_ell():
     assert h.depth == 2
     for g in h.levels:
         n_pad, e_pad = g.n_pad_nodes, g.n_pad_edges
-        assert n_pad % 64 == 0 and n_pad > g.n_nodes
-        assert e_pad % 64 == 0 and e_pad >= g.n_edges
-        # Real edges are receiver-sorted.
-        rr = g.receivers[: g.n_edges]
-        assert np.all(np.diff(rr.astype(np.int64)) >= 0)
-        # Pad edges self-loop on the pad node.
-        assert np.all(g.senders[g.n_edges :] == n_pad - 1)
-        assert np.all(g.receivers[g.n_edges :] == n_pad - 1)
-        # ELL tables reconstruct exact per-node sums: for every real node,
-        # the slots listed must be exactly the edges with that receiver.
+        assert n_pad % 128 == 0 and n_pad > g.n_nodes
+        assert e_pad % 128 == 0
+        real = g.edge_mask > 0
+        assert real.sum() == g.n_edges
+        # Real edges are receiver-sorted within the block-aligned layout.
+        rr = g.receivers[real].astype(np.int64)
+        assert np.all(np.diff(rr) >= 0)
+        # Pad slots self-loop on the pad node.
+        assert np.all(g.senders[~real] == n_pad - 1)
+        assert np.all(g.receivers[~real] == n_pad - 1)
+        # Block alignment: every 128-node block owns a chunk-aligned,
+        # contiguous slot segment starting at recv_indptr of its first node.
+        block_starts = g.recv_indptr[::128].astype(np.int64)
+        assert np.all(block_starts % 128 == 0)
+        assert block_starts[-1] == e_pad
+        assert np.all(np.diff(block_starts) >= 128)
+        # Every real slot of block b lies inside [bs[b], bs[b+1]).
+        slot_block = np.searchsorted(block_starts[1:], np.flatnonzero(real), side="right")
+        np.testing.assert_array_equal(slot_block, g.receivers[real] // 128)
+        # ELL tables reconstruct exact per-node slot sets.
         for n in [0, 1, g.n_nodes - 1]:
             slots = g.recv_ell[n]
-            real = slots[slots < e_pad]
-            assert set(real.tolist()) == set(
-                np.flatnonzero(g.receivers[: g.n_edges] == n).tolist()
+            listed = slots[slots < e_pad]
+            assert set(listed.tolist()) == set(
+                np.flatnonzero(real & (g.receivers == n)).tolist()
             )
-        # Degree matches edge counts (senders).
-        counts = np.bincount(g.senders[: g.n_edges], minlength=n_pad)
+        # Degree matches real edge counts (senders).
+        counts = np.bincount(g.senders[real], minlength=n_pad)
         np.testing.assert_array_equal(
             g.deg[: g.n_nodes], np.maximum(counts[: g.n_nodes], 1).astype(np.float32)
         )
@@ -207,7 +217,7 @@ def test_hierarchy_cache_roundtrip(tmp_path):
 def test_hierarchy_buckets():
     pos, cells = make_grid_mesh(6, 6)
     edges = to_flat_edge(cells, "tri")
-    node_buckets = [64, 64, 64]
+    node_buckets = [128, 128, 128]
     edge_buckets = [512, 512, 512]
     h = build_hierarchy(
         edges, 2, pos.shape[0], pos, node_buckets=node_buckets, edge_buckets=edge_buckets
@@ -215,3 +225,4 @@ def test_hierarchy_buckets():
     for l, g in enumerate(h.levels):
         assert g.n_pad_nodes == node_buckets[l]
         assert g.n_pad_edges == edge_buckets[l]
+        assert g.edge_mask.sum() == g.n_edges

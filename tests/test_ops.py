@@ -44,19 +44,27 @@ def _pad_nodes(x, n_pad):
     return out
 
 
+def _real_edges(lvl):
+    """(slot indices, senders, receivers) of the real edges in the
+    block-aligned layout."""
+    slots = np.flatnonzero(np.asarray(lvl.edge_mask) > 0)
+    return slots, np.asarray(lvl.senders)[slots], np.asarray(lvl.receivers)[slots]
+
+
 @pytest.mark.parametrize("method", ["ell", "segment"])
 def test_aggregate_matches_oracle(method, rng):
     h, _ = _mesh_hierarchy()
     lvl = h.levels[0]
-    e, n = lvl.n_edges, lvl.n_nodes
-    feat = rng.standard_normal((lvl.n_pad_edges, 16)).astype(np.float32)
-    feat[e:] = 0.0  # pad edges carry zeros in this test
+    n = lvl.n_nodes
+    slots, s_real, r_real = _real_edges(lvl)
+    feat = np.zeros((lvl.n_pad_edges, 16), np.float32)
+    feat[slots] = rng.standard_normal((len(slots), 16)).astype(np.float32)
     out = aggregate_recv(lvl, jnp.asarray(feat), method)
-    oracle = ref.scatter_sum(feat[:e], np.asarray(lvl.receivers[:e]), n)
+    oracle = ref.scatter_sum(feat[slots], r_real, n)
     np.testing.assert_allclose(np.asarray(out)[:n], oracle, rtol=1e-6, atol=1e-6)
 
     out_s = aggregate_send(lvl, jnp.asarray(feat), method)
-    oracle_s = ref.scatter_sum(feat[:e], np.asarray(lvl.senders[:e]), n)
+    oracle_s = ref.scatter_sum(feat[slots], s_real, n)
     np.testing.assert_allclose(np.asarray(out_s)[:n], oracle_s, rtol=1e-6, atol=1e-6)
 
 
@@ -86,16 +94,18 @@ def test_custom_vjp_grads_match_segment_path(rng):
     cot_n = jnp.asarray(rng.standard_normal((lvl.n_pad_nodes, 8)).astype(np.float32))
     cot_e = jnp.asarray(rng.standard_normal((lvl.n_pad_edges, 8)).astype(np.float32))
 
+    slots, _, _ = _real_edges(lvl)
+    node_valid = np.arange(n)
     for fn, inp, cot, valid in [
-        (lambda v, m: gather_send(lvl, v, m), x, cot_e, n),
-        (lambda v, m: gather_recv(lvl, v, m), x, cot_e, n),
-        (lambda v, m: aggregate_recv(lvl, v, m), feat, cot_n, e),
-        (lambda v, m: aggregate_send(lvl, v, m), feat, cot_n, e),
+        (lambda v, m: gather_send(lvl, v, m), x, cot_e, node_valid),
+        (lambda v, m: gather_recv(lvl, v, m), x, cot_e, node_valid),
+        (lambda v, m: aggregate_recv(lvl, v, m), feat, cot_n, slots),
+        (lambda v, m: aggregate_send(lvl, v, m), feat, cot_n, slots),
     ]:
         g_ell = jax.grad(lambda v: jnp.vdot(fn(v, "ell"), cot))(inp)
         g_seg = jax.grad(lambda v: jnp.vdot(fn(v, "segment"), cot))(inp)
         np.testing.assert_allclose(
-            np.asarray(g_ell)[:valid], np.asarray(g_seg)[:valid], rtol=1e-5, atol=1e-5
+            np.asarray(g_ell)[valid], np.asarray(g_seg)[valid], rtol=1e-5, atol=1e-5
         )
 
 
@@ -137,11 +147,12 @@ def test_gmp_matches_oracle(method, rng):
     eb = [np.asarray(b) for b in params.mlp_edge.biases]
     nw = [np.asarray(w) for w in params.mlp_node.weights]
     nb = [np.asarray(b) for b in params.mlp_node.biases]
+    _, s_real, r_real = _real_edges(lvl)
     want = ref.gmp(
         ew, eb, nw, nb,
         x.astype(np.float64),
-        np.asarray(lvl.senders[: lvl.n_edges]),
-        np.asarray(lvl.receivers[: lvl.n_edges]),
+        s_real,
+        r_real,
         pos.astype(np.float64),
     )
     np.testing.assert_allclose(got[:n], want, rtol=1e-3, atol=1e-4)
@@ -151,13 +162,12 @@ def test_gmp_matches_oracle(method, rng):
 def test_cal_ew_and_conv_match_oracle(method, rng):
     h, pos = _mesh_hierarchy()
     lvl = h.levels[0]
-    n, e = lvl.n_nodes, lvl.n_edges
+    n = lvl.n_nodes
+    slots, s, r = _real_edges(lvl)
     w = np.ones((lvl.n_pad_nodes, 1), dtype=np.float32)
     ec, aggr_w = cal_ew(lvl, jnp.asarray(w), method)
-    s = np.asarray(lvl.senders[:e])
-    r = np.asarray(lvl.receivers[:e])
     ec_ref, aggr_ref = ref.cal_ew(np.ones((n, 1)), s, r, n)
-    np.testing.assert_allclose(np.asarray(ec)[:e], ec_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ec)[slots], ec_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(aggr_w)[:n], aggr_ref, rtol=1e-5, atol=1e-6)
 
     x = rng.standard_normal((n, 8)).astype(np.float32)
@@ -263,10 +273,12 @@ def test_bsgmp_matches_oracle(fixture, rng):
 
     for method in ["ell", "segment"]:
         got = np.asarray(bsgmp_apply(params, h, jnp.asarray(xp), jnp.asarray(posp), method))
-        levels_arrays = [
-            (np.asarray(g.senders[: g.n_edges]), np.asarray(g.receivers[: g.n_edges]))
-            for g in h.levels
-        ]
+        levels_arrays = []
+        for g in h.levels:
+            sl = np.flatnonzero(np.asarray(g.edge_mask) > 0)
+            levels_arrays.append(
+                (np.asarray(g.senders)[sl], np.asarray(g.receivers)[sl])
+            )
         ids = [np.asarray(t.pool_ids[: h.levels[l + 1].n_nodes]) for l, t in enumerate(h.transitions)]
         want = _run_reference_bsgmp(params, levels_arrays, ids, x.astype(np.float64), pos)
         np.testing.assert_allclose(got[:n], want, rtol=2e-3, atol=2e-4)

@@ -60,9 +60,9 @@ def test_pallas_grad_matches(level, rng):
     )
     g_p = jax.grad(lambda f: jnp.vdot(aggregate_recv(level, f, "pallas"), cot))(feat)
     g_s = jax.grad(lambda f: jnp.vdot(aggregate_recv(level, f, "segment"), cot))(feat)
-    e = level.n_edges
+    slots = np.flatnonzero(np.asarray(level.edge_mask) > 0)
     np.testing.assert_allclose(
-        np.asarray(g_p)[:e], np.asarray(g_s)[:e], rtol=1e-5, atol=1e-5
+        np.asarray(g_p)[slots], np.asarray(g_s)[slots], rtol=1e-5, atol=1e-5
     )
 
 
