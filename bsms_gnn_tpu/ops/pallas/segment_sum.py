@@ -100,8 +100,8 @@ def _get_call(e_pad: int, n_pad: int, c: int, interpret: bool):
 
 
 def _supported(level, feat) -> bool:
-    if feat.ndim != 2:
-        return False  # batched [B, E, C] runs the ELL path
+    if feat.ndim not in (2, 3):
+        return False
     return (
         feat.shape[-1] % 128 == 0
         and level.n_pad_nodes % BN == 0
@@ -150,4 +150,8 @@ def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
         return (jnp.take(g, level.receivers, axis=-2),)
 
     agg.defvjp(fwd, bwd)
+    if feat.ndim == 3:
+        # Batched consistent-mesh mode: vmap adds a batch grid dimension to
+        # the pallas_call (one kernel launch, B× the chunks).
+        return jax.vmap(agg)(feat)
     return agg(feat)

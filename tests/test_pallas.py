@@ -70,9 +70,18 @@ def test_pallas_fallback_conditions(level, rng):
     # C not multiple of 128 → fallback (returns None).
     feat = jnp.ones((level.n_pad_edges, 64), jnp.float32)
     assert segment_sum_pallas(level, feat) is None
-    # Batched input → fallback.
-    featb = jnp.ones((2, level.n_pad_edges, 128), jnp.float32)
-    assert segment_sum_pallas(level, featb) is None
     # aggregate_recv still works through the fallback.
-    out = aggregate_recv(level, featb, "pallas")
-    assert out.shape == (2, level.n_pad_nodes, 128)
+    out = aggregate_recv(level, jnp.ones((2, level.n_pad_edges, 64)), "pallas")
+    assert out.shape == (2, level.n_pad_nodes, 64)
+
+
+def test_pallas_batched_matches_single(level, rng):
+    featb = jnp.asarray(
+        rng.standard_normal((2, level.n_pad_edges, 128)).astype(np.float32)
+    )
+    out = segment_sum_pallas(level, featb)
+    assert out is not None and out.shape == (2, level.n_pad_nodes, 128)
+    single = segment_sum_pallas(level, featb[0])
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(single), rtol=1e-6, atol=1e-6
+    )
