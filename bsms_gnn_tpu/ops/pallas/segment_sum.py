@@ -53,7 +53,10 @@ def _make_kernel():
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        r_local = recv_ref[:] - base_row  # [1, BE]
+        # recv_ref holds 8 packed receiver rows (Mosaic wants ≥8 sublanes);
+        # this chunk's row is c mod 8.
+        row = jax.lax.rem(c, 8)
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
         onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
         out_ref[:] += jax.lax.dot_general(
@@ -78,7 +81,7 @@ def _get_call(e_pad: int, n_pad: int, c: int, interpret: bool):
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BE), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (BN, c),
@@ -130,6 +133,10 @@ def _forward(level, feat):
     )
     call = _get_call(e_pad, n_pad, feat.shape[-1], interpret)
     recv_packed = level.receivers.reshape(-1, BE).astype(jnp.int32)
+    rows8 = -(-num_chunks // 8) * 8
+    recv_packed = jnp.pad(
+        recv_packed, ((0, rows8 - num_chunks), (0, 0)), constant_values=n_pad - 1
+    )
     return call(chunk_block, first, feat.astype(jnp.float32), recv_packed)
 
 
