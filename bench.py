@@ -52,6 +52,10 @@ def build_problem(n_nodes: int = 5000, depth: int = 7, seed: int = 0):
 def main() -> None:
     import jax
 
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
 
     cfg, h, node_in, mask, n_real = build_problem()

@@ -25,6 +25,9 @@ from bsms_gnn_tpu.training.rollout import StreamingStats
 
 
 def run_rollout(cfg: Config) -> dict:
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print(to_yaml(cfg), flush=True)
     trainer = Trainer(cfg)
     if cfg.restore_dir and cfg.restore_step >= 0:

@@ -47,6 +47,9 @@ def _batch_arrays(b):
 
 
 def run_train(cfg: Config) -> None:
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     np.random.seed(cfg.base_seed)
     print(to_yaml(cfg), flush=True)
     logger = MetricLogger(cfg.board, cfg.project)
