@@ -52,16 +52,18 @@ def init_mlp(
 
 
 def dense(x, w, b, compute_dtype=None):
-    """x @ w + b with optional low-precision operands, f32 accumulation."""
-    if compute_dtype is not None and compute_dtype != x.dtype:
+    """x @ w + b. With a low-precision compute_dtype, operands are cast down,
+    accumulation stays f32, and the OUTPUT is stored in compute_dtype too —
+    halving HBM traffic for every intermediate activation (params remain
+    f32; the final model output is cast back by the caller)."""
+    if compute_dtype is not None:
         out = jnp.matmul(
             x.astype(compute_dtype),
             w.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
-    else:
-        out = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-    return out + b
+        return (out + b).astype(compute_dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32) + b
 
 
 def layer_norm(x, eps: float = 1e-5):

@@ -58,12 +58,14 @@ def _make_kernel():
         row = jax.lax.rem(c, 8)
         r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
-        onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
+        onehot = (node_iota == r_local).astype(feat_ref.dtype)  # [BN, BE]
         out_ref[:] += jax.lax.dot_general(
             onehot,
             feat_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST keeps full f32 mantissas (the MXU truncates f32
+            # operands to bf16 by default); for bf16 inputs it is free.
             precision=jax.lax.Precision.HIGHEST,
         )
 
@@ -71,7 +73,7 @@ def _make_kernel():
 
 
 @functools.lru_cache(maxsize=None)
-def _get_call(e_pad: int, n_pad: int, c: int, interpret: bool):
+def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,13 +133,14 @@ def _forward(level, feat):
             (chunk_block[1:] != chunk_block[:-1]).astype(jnp.int32),
         ]
     )
-    call = _get_call(e_pad, n_pad, feat.shape[-1], interpret)
+    dtype = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+    call = _get_call(e_pad, n_pad, feat.shape[-1], jnp.dtype(dtype).name, interpret)
     recv_packed = level.receivers.reshape(-1, BE).astype(jnp.int32)
     rows8 = -(-num_chunks // 8) * 8
     recv_packed = jnp.pad(
         recv_packed, ((0, rows8 - num_chunks), (0, 0)), constant_values=n_pad - 1
     )
-    return call(chunk_block, first, feat.astype(jnp.float32), recv_packed)
+    return call(chunk_block, first, feat.astype(dtype), recv_packed)
 
 
 def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
