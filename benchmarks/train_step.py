@@ -10,10 +10,13 @@ Usage: python benchmarks/train_step.py [batch] [n_nodes] [agg] [dtype]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch=48, n_nodes=5000, agg="pallas", dtype="float32"):
