@@ -59,14 +59,20 @@ def _make_kernel():
         r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
         onehot = (node_iota == r_local).astype(feat_ref.dtype)  # [BN, BE]
+        # HIGHEST keeps full f32 mantissas (the MXU truncates f32 operands
+        # to bf16 by default); Mosaic rejects it for bf16 operands, where
+        # the default already accumulates in f32.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if feat_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         out_ref[:] += jax.lax.dot_general(
             onehot,
             feat_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            # HIGHEST keeps full f32 mantissas (the MXU truncates f32
-            # operands to bf16 by default); for bf16 inputs it is free.
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
 
     return kernel
