@@ -63,13 +63,17 @@ def main(batch=48, n_nodes=5000, agg="pallas", dtype="float32"):
     print(f"compile {time.time()-t0:.0f}s", flush=True)
 
     for i in range(3):
-        tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))
-    jax.block_until_ready(tr.state.sim.params)
-    steps = 20
+        jax.block_until_ready(
+            tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))
+        )
+    steps = 10
     t0 = time.time()
     for i in range(steps):
-        loss = tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready((loss, tr.state.sim.params))
+        # Block per step: the loss scalar is an output of the whole update,
+        # so this measures true step latency.
+        jax.block_until_ready(
+            tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 100 + i))
+        )
     dt = (time.time() - t0) / steps
     edges_total = sum(g.n_edges for g in h.levels) * batch
     print(

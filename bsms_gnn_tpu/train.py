@@ -46,6 +46,31 @@ def _batch_arrays(b):
     return jnp.asarray(b.node_in), jnp.asarray(b.node_tar), jnp.asarray(b.node_mask)
 
 
+def _plot_test_batch(cfg, trainer, batch, step, stamp) -> None:
+    from bsms_gnn_tpu.utils.plotting import plot_fields
+
+    ni, nt, nm = _batch_arrays(batch)
+    pred = np.asarray(trainer.get_pred(batch.hierarchy, ni, nm))[0]
+    pos = np.asarray(ni[0, :, -1 - cfg.model.pos_dim : -1])
+    # Reconstruct a triangulation from the level-0 graph is overkill here;
+    # scatter panels only need positions, so plot with a Delaunay of the
+    # valid nodes' positions.
+    n_valid = int(np.asarray(nm[0]).sum())
+    try:
+        from scipy.spatial import Delaunay
+
+        cells = Delaunay(pos[:n_valid]).simplices
+    except Exception:
+        return
+    out = os.path.join(cfg.dump_dir, "plots", f"{cfg.datasets.name}_{stamp}",
+                       f"step_{step}.png")
+    plot_fields(
+        pos[:n_valid], cells, pred[:n_valid], np.asarray(nt[0]),
+        save_path=out, title=f"step {step}",
+    )
+    print(f"plotted test batch → {out}", flush=True)
+
+
 def run_train(cfg: Config) -> None:
     from bsms_gnn_tpu.utils.cache import enable_compilation_cache
 
@@ -98,6 +123,11 @@ def run_train(cfg: Config) -> None:
                            float(trainer.get_loss(tb.hierarchy, tni, tnt, tnm)))
                 mean, std = trainer.get_error(tb.hierarchy, tni, tnt, tnm)
                 print_error_table("test", step, mean, std)
+
+            if cfg.plot and step > 0 and step % cfg.plot_freq == 0:
+                # Working version of the reference's disabled eval_plot
+                # (`train_utils.py:60-62`): test-batch field/error panels.
+                _plot_test_batch(cfg, trainer, next(test_sampler), step, stamp)
 
             if step % cfg.save_freq == 0 and step > 0:
                 save_checkpoint(ckpt_dir, step, trainer.state)
