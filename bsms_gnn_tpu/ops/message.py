@@ -77,8 +77,16 @@ def gmp_apply(
     fiber = jnp.concatenate([direction, norm], axis=-1)
     pre = dense(fiber, wf, params.mlp_edge.biases[0], compute_dtype) + z_i + z_j
 
-    edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
-    aggr = aggregate_recv(level, edge_embedding, method)
+    aggr = None
+    if method == "pallas":
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_mlp_aggregate
+
+        aggr = fused_edge_mlp_aggregate(
+            level, pre, params.mlp_edge.weights[1:], params.mlp_edge.biases[1:]
+        )
+    if aggr is None:
+        edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
+        aggr = aggregate_recv(level, edge_embedding, method)
 
     wn = params.mlp_node.weights[0]
     node_pre = (

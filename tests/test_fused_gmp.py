@@ -1,0 +1,104 @@
+"""Fused edge-MLP+aggregate kernel tests (interpret mode): forward parity
+with the unfused path, full gradient parity (pre, weights, biases), batched
+mode, and GMP-level integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_grid_mesh
+
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
+from bsms_gnn_tpu.ops.dense import init_mlp, mlp_apply_tail
+from bsms_gnn_tpu.ops.message import init_gmp, gmp_apply
+from bsms_gnn_tpu.ops.scatter import aggregate_recv
+from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_mlp_aggregate
+
+
+@pytest.fixture(scope="module")
+def setup():
+    pos, cells = make_grid_mesh(10, 10)
+    edges = to_flat_edge(cells, "tri")
+    h = build_hierarchy(edges, 1, pos.shape[0], pos, pad_multiple=128)
+    lvl = h.levels[0]
+    mlp = init_mlp(jax.random.PRNGKey(0), 259, 128, 128, hidden_layers=3, layer_normalized=True)
+    return lvl, mlp, pos
+
+
+def _unfused(lvl, mlp, pre):
+    e = mlp_apply_tail(mlp, pre)
+    return aggregate_recv(lvl, e, "ell")
+
+
+def test_fused_forward_matches_unfused(setup, rng):
+    lvl, mlp, _ = setup
+    pre = jnp.asarray(rng.standard_normal((lvl.n_pad_edges, 128)).astype(np.float32))
+    out = fused_edge_mlp_aggregate(lvl, pre, mlp.weights[1:], mlp.biases[1:])
+    assert out is not None
+    want = _unfused(lvl, mlp, pre)
+    n = lvl.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(want)[:n], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_grads_match_unfused(setup, rng):
+    lvl, mlp, _ = setup
+    pre = jnp.asarray(rng.standard_normal((lvl.n_pad_edges, 128)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32))
+    ws = tuple(mlp.weights[1:])
+    bs = tuple(mlp.biases[1:])
+
+    def loss_fused(pre, ws, bs):
+        return jnp.vdot(fused_edge_mlp_aggregate(lvl, pre, ws, bs), cot)
+
+    def loss_unfused(pre, ws, bs):
+        m = mlp.replace(weights=(mlp.weights[0],) + ws, biases=(mlp.biases[0],) + bs)
+        return jnp.vdot(_unfused(lvl, m, pre), cot)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(pre, ws, bs)
+    gu = jax.grad(loss_unfused, argnums=(0, 1, 2))(pre, ws, bs)
+
+    slots = np.flatnonzero(np.asarray(lvl.edge_mask) > 0)
+    np.testing.assert_allclose(
+        np.asarray(gf[0])[slots], np.asarray(gu[0])[slots], rtol=1e-3, atol=1e-4
+    )
+    for a, b in zip(gf[1], gu[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+    for a, b in zip(gf[2], gu[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_batched(setup, rng):
+    lvl, mlp, _ = setup
+    preb = jnp.asarray(rng.standard_normal((2, lvl.n_pad_edges, 128)).astype(np.float32))
+    out = fused_edge_mlp_aggregate(lvl, preb, mlp.weights[1:], mlp.biases[1:])
+    assert out is not None and out.shape == (2, lvl.n_pad_nodes, 128)
+    single = fused_edge_mlp_aggregate(lvl, preb[0], mlp.weights[1:], mlp.biases[1:])
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(single), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gmp_pallas_method_uses_fused_and_matches_ell(setup, rng):
+    lvl, _, pos = setup
+    params = init_gmp(jax.random.PRNGKey(1), latent_dim=128, hidden_layer=3, pos_dim=2)
+    n = lvl.n_nodes
+    x = np.zeros((lvl.n_pad_nodes, 128), np.float32)
+    x[:n] = rng.standard_normal((n, 128)).astype(np.float32)
+    posp = np.zeros((lvl.n_pad_nodes, 2), np.float32)
+    posp[:n] = pos
+    got = gmp_apply(params, lvl, jnp.asarray(x), jnp.asarray(posp), "pallas")
+    want = gmp_apply(params, lvl, jnp.asarray(x), jnp.asarray(posp), "ell")
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want)[:n], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_fused_fallback_nonsquare(setup):
+    lvl, _, _ = setup
+    mlp_small = init_mlp(jax.random.PRNGKey(2), 64, 64, 64, hidden_layers=1)
+    pre = jnp.ones((lvl.n_pad_edges, 64), jnp.float32)
+    assert fused_edge_mlp_aggregate(lvl, pre, mlp_small.weights[1:], mlp_small.biases[1:]) is None
