@@ -1,0 +1,121 @@
+"""Scaled airfoil stretch case (~1M nodes, SURVEY.md §7.2 item 10):
+hierarchy precompute at scale + single-chip inference throughput, reported
+as edges/s across all levels. Training at this scale uses remat
+(`model.remat=true`) so only node-level residuals persist.
+
+Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_nodes=1_000_000, depth=7, mode="infer"):
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data.synthetic import make_delaunay_mesh
+    from bsms_gnn_tpu.graph.hierarchy import load_or_build_hierarchy
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+
+    cfg = load_config([
+        f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+        "model.aggregation=pallas",
+        "model.remat=" + ("true" if mode == "train" else "false"),
+    ])
+    cache_dir = "/tmp/bsms-scale"
+    os.makedirs(cache_dir, exist_ok=True)
+    t0 = time.time()
+    pos, cells, node_type = make_delaunay_mesh(n_nodes, np.random.default_rng(0))
+    edges = to_flat_edge(cells, "tri")
+    h = load_or_build_hierarchy(
+        cache_dir, f"scale{n_nodes}", edges, depth, pos.shape[0],
+        pos.astype(np.float64),
+    )
+    total_edges = sum(g.n_edges for g in h.levels)
+    print(
+        f"precompute {time.time()-t0:.0f}s; N={pos.shape[0]} "
+        f"edges/level={[g.n_edges for g in h.levels]} total={total_edges}",
+        flush=True,
+    )
+    h = jax.device_put(h)
+
+    n, n_pad = pos.shape[0], h.levels[0].n_pad_nodes
+    c = cfg.model.out_dim
+    rng = np.random.default_rng(1)
+    node_in = np.zeros((n_pad, c + 3), np.float32)
+    node_in[:n, :c] = rng.standard_normal((n, c))
+    node_in[:n, c : c + 2] = pos
+    mask = np.zeros((n_pad, 1), np.float32)
+    mask[:n] = 1.0
+    node_in, mask = jnp.asarray(node_in), jnp.asarray(mask)
+
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+
+    if mode == "infer":
+        f = jax.jit(
+            lambda ni, m: simulator_forward(
+                state.params, state.norm_in, state.norm_out, h, ni, m, cfg.model
+            )
+        )
+        t0 = time.time()
+        out = jax.block_until_ready(f(node_in, mask))
+        print(f"compile+first {time.time()-t0:.0f}s "
+              f"finite={bool(np.isfinite(np.asarray(out[:n])).all())}", flush=True)
+        for _ in range(2):
+            jax.block_until_ready(f(node_in, mask))
+        steps = 10
+        t0 = time.time()
+        outs = [f(node_in, mask) for _ in range(steps)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / steps
+        print(
+            f"infer[{n_nodes}n,d{depth}]: {dt*1e3:.1f} ms/step, "
+            f"{total_edges/dt/1e9:.2f} Gedges/s",
+            flush=True,
+        )
+    else:
+        import dataclasses
+
+        from bsms_gnn_tpu.training import Trainer
+
+        tr = Trainer(cfg)
+        node_tar = node_in[None, :, :c]
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        loss = tr.iter(h, node_in[None], node_tar, mask[None], key)
+        jax.block_until_ready(loss)
+        print(f"train compile+first {time.time()-t0:.0f}s loss={float(loss):.4f}",
+              flush=True)
+        steps = 5
+        t0 = time.time()
+        for i in range(steps):
+            jax.block_until_ready(
+                tr.iter(h, node_in[None], node_tar, mask[None],
+                        jax.random.fold_in(key, i))
+            )
+        dt = (time.time() - t0) / steps
+        print(f"train[{n_nodes}n,d{depth},remat]: {dt*1e3:.0f} ms/step, "
+              f"{total_edges/dt/1e9:.2f} Gedges/s", flush=True)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(
+        int(a[0]) if a else 1_000_000,
+        int(a[1]) if len(a) > 1 else 7,
+        a[2] if len(a) > 2 else "infer",
+    )

@@ -102,3 +102,46 @@ def test_fused_fallback_nonsquare(setup):
     mlp_small = init_mlp(jax.random.PRNGKey(2), 64, 64, 64, hidden_layers=1)
     pre = jnp.ones((lvl.n_pad_edges, 64), jnp.float32)
     assert fused_edge_mlp_aggregate(lvl, pre, mlp_small.weights[1:], mlp_small.biases[1:]) is None
+
+
+def test_trainer_pallas_matches_ell_over_steps():
+    """Full train-step integration: the pallas (fused) path must track the
+    ell path's losses and parameter updates over several steps."""
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.training import Trainer
+
+    def run(agg):
+        cfg = load_config([
+            "model.unet_depth=2", "model.latent_dim=128", "model.hidden_layer=3",
+            "model.accumulation_steps=1", f"model.aggregation={agg}",
+            "opt.warmup_steps=2", "opt.decay_steps=20",
+        ])
+        pos, cells = make_grid_mesh(8, 8)
+        edges = to_flat_edge(cells, "tri")
+        h = build_hierarchy(edges, 2, pos.shape[0], pos, pad_multiple=128)
+        n, n_pad = pos.shape[0], h.levels[0].n_pad_nodes
+        rng = np.random.default_rng(5)
+        B, c = 2, 3
+        node_in = np.zeros((B, n_pad, c + 3), np.float32)
+        node_in[:, :n, :c] = rng.standard_normal((B, n, c))
+        node_in[:, :n, c:c + 2] = pos
+        node_tar = np.zeros((B, n_pad, c), np.float32)
+        node_tar[:, :n] = node_in[:, :n, :c] + 0.05
+        mask = np.zeros((B, n_pad, 1), np.float32)
+        mask[:, :n] = 1.0
+        tr = Trainer(cfg)
+        key = jax.random.PRNGKey(9)
+        losses = [
+            float(tr.iter(h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                          jnp.asarray(mask), jax.random.fold_in(key, i)))
+            for i in range(4)
+        ]
+        return losses, tr.state.sim.params
+
+    l_ell, p_ell = run("ell")
+    l_pal, p_pal = run("pallas")
+    np.testing.assert_allclose(l_pal, l_ell, rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_pal), jax.tree_util.tree_leaves(p_ell)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    # Sanity: losses actually evolve (the step is doing real work).
+    assert len({round(x, 6) for x in l_ell}) > 1
