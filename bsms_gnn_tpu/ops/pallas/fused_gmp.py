@@ -36,7 +36,10 @@ LN_EPS = 1e-5
 def _layer_norm_fwd(x):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + LN_EPS)
+    # 1/sqrt rather than rsqrt: Mosaic lowers rsqrt to the raw approximate
+    # VPU instruction (~1e-3 rel error), while XLA refines it — keep the
+    # kernel bit-comparable with the unfused path.
+    inv = 1.0 / jnp.sqrt(var + LN_EPS)
     return (x - mean) * inv, inv
 
 
@@ -281,14 +284,19 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
 
-    @jax.custom_vjp
-    def run(pre, w_stack, b_stack):
+    def _raw_forward(pre, w_stack, b_stack):
         call = _get_fwd(e_pad, n_pad, c, n_layers, interpret)
         return call(chunk_block, first, pre.astype(jnp.float32), w_stack,
                     b_stack, recv_packed)
 
+    @jax.custom_vjp
+    def run(pre, w_stack, b_stack):
+        return _raw_forward(pre, w_stack, b_stack)
+
     def fwd(pre, w_stack, b_stack):
-        return run(pre, w_stack, b_stack), (pre, w_stack, b_stack)
+        # Call the raw forward, NOT `run`: re-entering the custom_vjp
+        # function inside its own fwd rule breaks under nested transforms.
+        return _raw_forward(pre, w_stack, b_stack), (pre, w_stack, b_stack)
 
     def bwd(res, g):
         pre, w_stack, b_stack = res
