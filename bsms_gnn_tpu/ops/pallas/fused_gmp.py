@@ -211,6 +211,9 @@ def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # revisited out blocks need
+        ),                                       # strictly sequential grid
     )
 
 
@@ -248,6 +251,9 @@ def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
     )
 
 

@@ -102,6 +102,9 @@ def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # revisited out blocks need
+        ),                                       # strictly sequential grid
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * BN * c,
             bytes_accessed=e_pad * c * 4 + e_pad * 4 + n_pad * c * 4,
