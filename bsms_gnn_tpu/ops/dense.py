@@ -63,7 +63,16 @@ def dense(x, w, b, compute_dtype=None):
             preferred_element_type=jnp.float32,
         )
         return (out + b).astype(compute_dtype)
-    return jnp.matmul(x, w, preferred_element_type=jnp.float32) + b
+    # HIGHEST: the TPU MXU silently truncates f32 operands to bf16 under the
+    # default precision — f32 mode should mean real f32 (use
+    # compute_dtype=bfloat16 explicitly for the fast path).
+    return (
+        jnp.matmul(
+            x, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + b
+    )
 
 
 def layer_norm(x, eps: float = 1e-5):

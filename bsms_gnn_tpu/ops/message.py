@@ -78,15 +78,19 @@ def gmp_apply(
     pre = dense(fiber, wf, params.mlp_edge.biases[0], compute_dtype) + z_i + z_j
 
     aggr = None
-    if method == "pallas":
+    if method == "fused":
+        # Experimental single-kernel edge phase (ops/pallas/fused_gmp.py):
+        # bandwidth-optimal but its 128-row chunk matmuls underutilize the
+        # MXU vs XLA's full-E matmuls at current sizes — opt-in only.
         from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_mlp_aggregate
 
         aggr = fused_edge_mlp_aggregate(
             level, pre, params.mlp_edge.weights[1:], params.mlp_edge.biases[1:]
         )
     if aggr is None:
+        agg_method = "pallas" if method == "fused" else method
         edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
-        aggr = aggregate_recv(level, edge_embedding, method)
+        aggr = aggregate_recv(level, edge_embedding, agg_method)
 
     wn = params.mlp_node.weights[0]
     node_pre = (

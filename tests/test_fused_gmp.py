@@ -82,7 +82,7 @@ def test_fused_batched(setup, rng):
     )
 
 
-def test_gmp_pallas_method_uses_fused_and_matches_ell(setup, rng):
+def test_gmp_fused_method_matches_ell(setup, rng):
     lvl, _, pos = setup
     params = init_gmp(jax.random.PRNGKey(1), latent_dim=128, hidden_layer=3, pos_dim=2)
     n = lvl.n_nodes
@@ -90,7 +90,7 @@ def test_gmp_pallas_method_uses_fused_and_matches_ell(setup, rng):
     x[:n] = rng.standard_normal((n, 128)).astype(np.float32)
     posp = np.zeros((lvl.n_pad_nodes, 2), np.float32)
     posp[:n] = pos
-    got = gmp_apply(params, lvl, jnp.asarray(x), jnp.asarray(posp), "pallas")
+    got = gmp_apply(params, lvl, jnp.asarray(x), jnp.asarray(posp), "fused")
     want = gmp_apply(params, lvl, jnp.asarray(x), jnp.asarray(posp), "ell")
     np.testing.assert_allclose(
         np.asarray(got)[:n], np.asarray(want)[:n], rtol=1e-3, atol=1e-4
@@ -139,9 +139,10 @@ def test_trainer_pallas_matches_ell_over_steps():
         return losses, tr.state.sim.params
 
     l_ell, p_ell = run("ell")
-    l_pal, p_pal = run("pallas")
-    np.testing.assert_allclose(l_pal, l_ell, rtol=1e-3, atol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(p_pal), jax.tree_util.tree_leaves(p_ell)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    for method in ("pallas", "fused"):
+        l_m, p_m = run(method)
+        np.testing.assert_allclose(l_m, l_ell, rtol=1e-3, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_ell)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
     # Sanity: losses actually evolve (the step is doing real work).
     assert len({round(x, 6) for x in l_ell}) > 1
