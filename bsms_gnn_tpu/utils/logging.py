@@ -31,6 +31,12 @@ class MetricLogger:
         if self.wandb is not None:
             self.wandb.log(dict(scalars), step=step)
 
+    def log_figure(self, step: int, name: str, fig) -> None:
+        """Log a matplotlib figure (the reference's plt_to_wandb helper,
+        `utils/basic.py:187-284`)."""
+        if self.wandb is not None and fig is not None:
+            self.wandb.log({name: self.wandb.Image(fig)}, step=step)
+
     def finish(self) -> None:
         if self.wandb is not None:
             self.wandb.finish()

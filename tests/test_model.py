@@ -144,3 +144,25 @@ def test_simulator_warmup_accumulates():
     # Mean over valid rows of the latent input's first channel.
     want = node_in[:n, 0].mean()
     np.testing.assert_allclose(float(st2.norm_in.e_x[0]), want, rtol=1e-4)
+
+
+def test_simulator_remat_matches():
+    cfg, h, node_in, node_tar, mask, n = _tiny_setup()
+    state = init_simulator(jax.random.PRNGKey(4), cfg.model)
+    base = simulator_forward(
+        state.params, state.norm_in, state.norm_out, h,
+        jnp.asarray(node_in), jnp.asarray(mask), cfg.model,
+    )
+    cfg.model.remat = True
+    rem = simulator_forward(
+        state.params, state.norm_in, state.norm_out, h,
+        jnp.asarray(node_in), jnp.asarray(mask), cfg.model,
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(rem), rtol=1e-5, atol=1e-6)
+    # Gradients flow through the rematerialized processor.
+    def loss(p):
+        out = simulator_forward(p, state.norm_in, state.norm_out, h,
+                                jnp.asarray(node_in), jnp.asarray(mask), cfg.model)
+        return jnp.sum(out * out)
+    g = jax.grad(loss)(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
