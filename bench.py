@@ -69,19 +69,13 @@ def main() -> None:
     out = jax.block_until_ready(fwd(node_in, mask))  # compile + warm
     assert np.all(np.isfinite(np.asarray(out[:n_real])))
 
-    # Pipelined timing (issue a window of steps, sync once): measures
-    # sustained device throughput rather than host↔device round-trip latency
-    # (this chip is reached through a tunnel with ~25 ms dispatch latency).
-    for _ in range(3):
-        jax.block_until_ready(fwd(node_in, mask))
-    reps, n_steps = 3, 50
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fwd(node_in, mask) for _ in range(n_steps)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / n_steps)
-    ms = 1e3 * sorted(times)[reps // 2]
+    # Pipelined timing (issue a window of steps, materialize the last
+    # result): sustained device throughput, independent of the tunnel's
+    # per-call dispatch latency. NB jax.block_until_ready is not a reliable
+    # fence on this backend; value materialization is (utils/timing.py).
+    from bsms_gnn_tpu.utils.timing import pipelined_timeit
+
+    ms = 1e3 * pipelined_timeit(lambda: fwd(node_in, mask), steps=50, warmup=3)
 
     print(
         json.dumps(

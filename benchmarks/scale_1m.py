@@ -71,17 +71,13 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
                 state.params, state.norm_in, state.norm_out, h, ni, m, cfg.model
             )
         )
+        from bsms_gnn_tpu.utils.timing import device_sync, pipelined_timeit
+
         t0 = time.time()
-        out = jax.block_until_ready(f(node_in, mask))
+        out = f(node_in, mask)
         print(f"compile+first {time.time()-t0:.0f}s "
               f"finite={bool(np.isfinite(np.asarray(out[:n])).all())}", flush=True)
-        for _ in range(2):
-            jax.block_until_ready(f(node_in, mask))
-        steps = 10
-        t0 = time.time()
-        outs = [f(node_in, mask) for _ in range(steps)]
-        jax.block_until_ready(outs)
-        dt = (time.time() - t0) / steps
+        dt = pipelined_timeit(lambda: f(node_in, mask), steps=10, warmup=2)
         print(
             f"infer[{n_nodes}n,d{depth}]: {dt*1e3:.1f} ms/step, "
             f"{total_edges/dt/1e9:.2f} Gedges/s",
@@ -97,16 +93,14 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         loss = tr.iter(h, node_in[None], node_tar, mask[None], key)
-        jax.block_until_ready(loss)
         print(f"train compile+first {time.time()-t0:.0f}s loss={float(loss):.4f}",
               flush=True)
         steps = 5
         t0 = time.time()
         for i in range(steps):
-            jax.block_until_ready(
-                tr.iter(h, node_in[None], node_tar, mask[None],
-                        jax.random.fold_in(key, i))
-            )
+            loss = tr.iter(h, node_in[None], node_tar, mask[None],
+                           jax.random.fold_in(key, i))
+        float(loss)
         dt = (time.time() - t0) / steps
         print(f"train[{n_nodes}n,d{depth},remat]: {dt*1e3:.0f} ms/step, "
               f"{total_edges/dt/1e9:.2f} Gedges/s", flush=True)

@@ -58,22 +58,20 @@ def main(batch=48, n_nodes=5000, agg="pallas", dtype="float32"):
     tr = Trainer(cfg)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    tr.iter(h, node_in, node_tar, mask, key)
-    jax.block_until_ready(tr.state.sim.params)
-    print(f"compile {time.time()-t0:.0f}s", flush=True)
+    first_loss = float(tr.iter(h, node_in, node_tar, mask, key))
+    print(f"compile {time.time()-t0:.0f}s loss0={first_loss:.4f}", flush=True)
 
     for i in range(3):
-        jax.block_until_ready(
-            tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i))
-        )
+        float(tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, i)))
     steps = 10
+    # Chained dispatch, materialize the final loss once: steps serialize on
+    # the state dependency, so total/steps is true step time. (NB
+    # jax.block_until_ready is not a reliable fence on this backend.)
     t0 = time.time()
+    loss = None
     for i in range(steps):
-        # Block per step: the loss scalar is an output of the whole update,
-        # so this measures true step latency.
-        jax.block_until_ready(
-            tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 100 + i))
-        )
+        loss = tr.iter(h, node_in, node_tar, mask, jax.random.fold_in(key, 100 + i))
+    final_loss = float(loss)
     dt = (time.time() - t0) / steps
     edges_total = sum(g.n_edges for g in h.levels) * batch
     print(

@@ -34,12 +34,16 @@ def throughput(
 ) -> dict:
     """Pipelined sustained throughput: issue `steps` dispatches, sync once.
     Returns ms/step (+ edges/s when `edges` given)."""
+    from bsms_gnn_tpu.utils.timing import device_sync
+
     args = tuple(args)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(steps)]
-    jax.block_until_ready(outs)
+    out = None
+    for _ in range(steps):
+        out = fn(*args)
+    device_sync(out)
     dt = (time.perf_counter() - t0) / steps
     out = {"ms_per_step": dt * 1e3}
     if edges is not None:

@@ -56,16 +56,43 @@ def timeit(func):
     return wrapper
 
 
-def simple_timeit(f, tries: int = 10, warmup: int = 2) -> float:
-    """Median seconds per call with device sync (jax.block_until_ready)."""
+def device_sync(x) -> None:
+    """Force completion of a device computation by materializing one scalar
+    element of its first array leaf. `jax.block_until_ready` is NOT a
+    reliable fence on remote/tunneled backends (observed returning early on
+    the axon TPU plugin); a host transfer of a dependent value is."""
     import jax
+    import jax.numpy as jnp
 
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "size") and getattr(leaf, "size", 0):
+            float(jnp.ravel(leaf)[0])
+            return
+
+
+def simple_timeit(f, tries: int = 10, warmup: int = 2) -> float:
+    """Median seconds per call with a real device sync (see device_sync)."""
     for _ in range(warmup):
-        jax.block_until_ready(f())
+        device_sync(f())
     times = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        jax.block_until_ready(f())
+        device_sync(f())
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def pipelined_timeit(f, steps: int = 20, warmup: int = 3) -> float:
+    """Seconds per call for `steps` back-to-back dispatches synced once at
+    the end (the device executes its queue serially, so the last result's
+    availability bounds them all). Measures sustained throughput without
+    paying per-call host↔device round trips."""
+    for _ in range(warmup):
+        device_sync(f())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = f()
+    device_sync(out)
+    return (time.perf_counter() - t0) / steps
