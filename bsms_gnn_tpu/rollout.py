@@ -30,11 +30,14 @@ def run_rollout(cfg: Config) -> dict:
     enable_compilation_cache()
     print(to_yaml(cfg), flush=True)
     trainer = Trainer(cfg)
-    if cfg.restore_dir and cfg.restore_step >= 0:
-        trainer.state = restore_checkpoint(
-            cfg.restore_dir, cfg.restore_step, trainer.state
-        )
-        print(f"restored step {cfg.restore_step} from {cfg.restore_dir}", flush=True)
+    step = cfg.restore_step
+    if cfg.restore_dir and step < 0:
+        from bsms_gnn_tpu.training.checkpoint import latest_step
+
+        step = latest_step(cfg.restore_dir)
+    if cfg.restore_dir and step >= 0:
+        trainer.state = restore_checkpoint(cfg.restore_dir, step, trainer.state)
+        print(f"restored step {step} from {cfg.restore_dir}", flush=True)
     else:
         print("WARNING: rolling out an untrained model (no restore_dir)", flush=True)
 

@@ -93,3 +93,12 @@ def test_batch_sharded_across_devices():
     mesh = make_mesh(8, 1)
     ni_s, _, _ = shard_batch(mesh, ni, nt, nm)
     assert len(ni_s.sharding.device_set) == 8
+
+
+def test_global_mesh_and_multihost_single_process():
+    from bsms_gnn_tpu.parallel.multihost import global_mesh, init_multihost
+
+    init_multihost()  # single-process: must be a no-op, not an error
+    mesh = global_mesh(graph=2)
+    assert mesh.shape["graph"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 2

@@ -170,3 +170,15 @@ def test_rollout_metrics_and_streaming_stats(rng):
     st.add(np.array([[3.0, 4.0]]))
     np.testing.assert_allclose(st.mean(), [2.0, 3.0])
     np.testing.assert_allclose(st.std(), [1.0, 1.0])
+
+
+def test_get_error_stacked_hierarchy():
+    """get_error works in stacked (per-sample hierarchy) mode."""
+    from bsms_gnn_tpu.data import stack_hierarchies
+
+    cfg, h, node_in, node_tar, mask = _setup(warmup=0, batch=2)
+    hs = stack_hierarchies([jax.tree_util.tree_map(np.asarray, h)] * 2)
+    tr = Trainer(cfg)
+    mean, std = tr.get_error(hs, node_in, node_tar, mask)
+    assert mean.shape == (cfg.model.out_dim,)
+    assert np.all(np.isfinite(mean)) and np.all(np.isfinite(std))
