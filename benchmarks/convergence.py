@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(steps=400, n_nodes=800):
+def main(steps=400, n_nodes=800, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +48,7 @@ def main(steps=400, n_nodes=800):
         "datasets.noise_level=[0.01,0.01,0.01]",
         f"opt.warmup_steps={steps // 8}", f"opt.decay_steps={steps}",
         "opt.peak_lr=3e-4",
+        f"model.compute_dtype={compute_dtype}",
         "batch=8",
     ])
     cfg.datasets.root = root
@@ -93,4 +94,8 @@ def main(steps=400, n_nodes=800):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    main(int(args[0]) if args else 400, int(args[1]) if len(args) > 1 else 800)
+    main(
+        int(args[0]) if args else 400,
+        int(args[1]) if len(args) > 1 else 800,
+        args[2] if len(args) > 2 else "float32",
+    )

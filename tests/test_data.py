@@ -172,3 +172,13 @@ def test_end_to_end_stacked(synth_variable):
             assert np.isfinite(loss)
     finally:
         s.close()
+
+
+def test_rollout_iterator_variable_mesh(synth_variable):
+    cfg = synth_variable
+    count = 0
+    for reader, inp, tar, mask in rollout_iterator(cfg.datasets):
+        assert inp.ndim == 3 and tar.ndim == 3
+        assert reader.hierarchy.levels[0].senders.ndim == 1
+        count += 1
+    assert count >= 1
