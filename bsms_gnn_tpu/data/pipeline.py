@@ -218,6 +218,36 @@ class TrajectorySampler:
             pass
 
 
+def device_prefetch(batches: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Move batches to device `depth` steps ahead of consumption, so the
+    host→device copy overlaps the previous train step (async dispatch).
+    The hierarchy transfers once per identity (device_put of the same
+    arrays is cached by JAX for committed arrays; shared-mesh datasets reuse
+    one hierarchy object)."""
+    import collections
+
+    import jax
+
+    q: "collections.deque[Batch]" = collections.deque()
+    it = iter(batches)
+    try:
+        while True:
+            while len(q) <= depth:
+                b = next(it)
+                q.append(
+                    Batch(
+                        node_in=jax.device_put(b.node_in),
+                        node_tar=jax.device_put(b.node_tar),
+                        node_mask=jax.device_put(b.node_mask),
+                        hierarchy=b.hierarchy,
+                    )
+                )
+            yield q.popleft()
+    except StopIteration:
+        while q:
+            yield q.popleft()
+
+
 def rollout_iterator(
     cfg: DatasetConfig, base_seed: int = 42
 ) -> Iterator[Tuple[TrajectoryReader, np.ndarray, np.ndarray, np.ndarray]]:

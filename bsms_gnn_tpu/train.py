@@ -22,6 +22,7 @@ import numpy as np
 
 from bsms_gnn_tpu.config import Config, load_config, to_yaml
 from bsms_gnn_tpu.data import TrajectorySampler
+from bsms_gnn_tpu.data.pipeline import device_prefetch
 from bsms_gnn_tpu.training import Trainer
 from bsms_gnn_tpu.training.checkpoint import (
     latest_step,
@@ -106,9 +107,10 @@ def run_train(cfg: Config) -> None:
     key = jax.random.PRNGKey(cfg.base_seed)
     timer = TicToc()
     total_steps = cfg.epochs * cfg.steps_per_epoch
+    train_iter = device_prefetch(train_sampler)
     try:
         for i in range(total_steps + 1):
-            batch = next(train_sampler)
+            batch = next(train_iter)
             step = trainer.step
 
             if _log_cadence(step, cfg.loss_freq, total_steps):

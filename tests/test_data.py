@@ -17,7 +17,7 @@ from bsms_gnn_tpu.data import (
     rollout_iterator,
     stack_hierarchies,
 )
-from bsms_gnn_tpu.data.pipeline import plan_buckets
+from bsms_gnn_tpu.data.pipeline import device_prefetch, plan_buckets
 from bsms_gnn_tpu.training import Trainer, rollout_trajectory, rollout_metrics
 
 
@@ -182,3 +182,15 @@ def test_rollout_iterator_variable_mesh(synth_variable):
         assert reader.hierarchy.levels[0].senders.ndim == 1
         count += 1
     assert count >= 1
+
+
+def test_device_prefetch(synth_consistent):
+    cfg = synth_consistent
+    s = TrajectorySampler(cfg.datasets, batch_size=2, num_workers=1, mode="train")
+    try:
+        it = device_prefetch(iter(s), depth=2)
+        b1, b2 = next(it), next(it)
+        assert hasattr(b1.node_in, "devices") or hasattr(b1.node_in, "device")
+        assert b1.node_in.shape[0] == 2 and b2.node_in.shape[0] == 2
+    finally:
+        s.close()
