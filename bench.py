@@ -61,12 +61,17 @@ def main() -> None:
     cfg, h, node_in, mask, n_real = build_problem()
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
 
+    # Hierarchy/params closed over (constants): at this scale (~20 MB of
+    # tables) the compile service accepts them, and avoiding ~100 argument
+    # buffers per dispatch matters through the tunnel. (Million-node runs
+    # must pass the hierarchy as an argument instead — see
+    # benchmarks/scale_1m.py.)
     fwd = jax.jit(
         lambda ni, m: simulator_forward(
             state.params, state.norm_in, state.norm_out, h, ni, m, cfg.model
         )
     )
-    out = jax.block_until_ready(fwd(node_in, mask))  # compile + warm
+    out = fwd(node_in, mask)  # compile + warm
     assert np.all(np.isfinite(np.asarray(out[:n_real])))
 
     # Pipelined timing (issue a window of steps, materialize the last

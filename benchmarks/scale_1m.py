@@ -66,18 +66,22 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
 
     if mode == "infer":
+        # Hierarchy and params are jit ARGUMENTS: closing over them would
+        # bake hundreds of MB of tables into the serialized program (the
+        # remote compile service rejects oversized bodies).
         f = jax.jit(
-            lambda ni, m: simulator_forward(
-                state.params, state.norm_in, state.norm_out, h, ni, m, cfg.model
+            lambda prm, nin, nout, hh, ni, m: simulator_forward(
+                prm, nin, nout, hh, ni, m, cfg.model
             )
         )
         from bsms_gnn_tpu.utils.timing import device_sync, pipelined_timeit
 
+        args = (state.params, state.norm_in, state.norm_out, h)
         t0 = time.time()
-        out = f(node_in, mask)
+        out = f(*args, node_in, mask)
         print(f"compile+first {time.time()-t0:.0f}s "
               f"finite={bool(np.isfinite(np.asarray(out[:n])).all())}", flush=True)
-        dt = pipelined_timeit(lambda: f(node_in, mask), steps=10, warmup=2)
+        dt = pipelined_timeit(lambda: f(*args, node_in, mask), steps=10, warmup=2)
         print(
             f"infer[{n_nodes}n,d{depth}]: {dt*1e3:.1f} ms/step, "
             f"{total_edges/dt/1e9:.2f} Gedges/s",
