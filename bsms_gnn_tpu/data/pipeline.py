@@ -22,7 +22,7 @@ import os
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import h5py
 import jax

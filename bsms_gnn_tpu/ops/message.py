@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from bsms_gnn_tpu.graph.hierarchy import LevelGraph
-from bsms_gnn_tpu.ops.dense import MLPParams, init_mlp, mlp_apply
+from bsms_gnn_tpu.ops.dense import MLPParams, init_mlp
 from bsms_gnn_tpu.ops.scatter import (
     aggregate_recv,
     aggregate_send,

@@ -23,7 +23,6 @@ never implements it).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
