@@ -41,6 +41,7 @@ _MASKS = {
     "cylinder_flow": _mask_cylinder,
     "synthetic_cylinder_flow": _mask_cylinder,
     "deforming_plate": _mask_normal_only,
+    "synthetic_deforming_plate": _mask_normal_only,
     "flag_simple": _mask_normal_only,
 }
 

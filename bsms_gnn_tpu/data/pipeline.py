@@ -177,20 +177,26 @@ class TrajectorySampler:
         # Per-worker RNG (the reference hashes [train_seed, worker_id,
         # base_seed], base.py:170-205; we fold the same ingredients).
         rng = np.random.default_rng((base_seed, worker_id, 0xB5))
-        # Workers shard the file list (ref base.py:207-219) but resample
-        # jointly each epoch for better mixing with few files.
-        while not self._stop.is_set():
-            file_order = rng.permutation(len(self.files))
-            for fi in file_order[worker_id :: max(1, len(self._threads))]:
-                reader = self._get_reader(self.files[fi])
-                t_ids = rng.permutation(len(reader))
-                for start in range(0, len(t_ids) - self.batch_size + 1, self.batch_size):
-                    if self._stop.is_set():
-                        return
-                    batch = self._collate(
-                        [(reader, int(t)) for t in t_ids[start : start + self.batch_size]]
-                    )
-                    self._queue.put(batch)
+        try:
+            # Workers shard the file list (ref base.py:207-219) but resample
+            # jointly each epoch for better mixing with few files.
+            while not self._stop.is_set():
+                file_order = rng.permutation(len(self.files))
+                for fi in file_order[worker_id :: max(1, len(self._threads))]:
+                    reader = self._get_reader(self.files[fi])
+                    t_ids = rng.permutation(len(reader))
+                    for start in range(
+                        0, len(t_ids) - self.batch_size + 1, self.batch_size
+                    ):
+                        if self._stop.is_set():
+                            return
+                        batch = self._collate(
+                            [(reader, int(t))
+                             for t in t_ids[start : start + self.batch_size]]
+                        )
+                        self._queue.put(batch)
+        except BaseException as e:  # surface worker crashes to the consumer
+            self._queue.put(e)
 
     def _collate(self, samples: List[Tuple[TrajectoryReader, int]]) -> Batch:
         ins, tars, masks = zip(*(r.sample(t) for r, t in samples))
@@ -207,7 +213,10 @@ class TrajectorySampler:
         return self
 
     def __next__(self) -> Batch:
-        return self._queue.get()
+        item = self._queue.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError("TrajectorySampler worker failed") from item
+        return item
 
     def close(self) -> None:
         self._stop.set()

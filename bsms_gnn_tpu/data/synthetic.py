@@ -18,7 +18,13 @@ import h5py
 import numpy as np
 from scipy.spatial import Delaunay
 
-from bsms_gnn_tpu.data.datasets import NT_INFLOW, NT_NORMAL, NT_OUTFLOW, NT_WALL
+from bsms_gnn_tpu.data.datasets import (
+    NT_HANDLE,
+    NT_INFLOW,
+    NT_NORMAL,
+    NT_OUTFLOW,
+    NT_WALL,
+)
 
 
 def make_delaunay_mesh(n_nodes: int, rng: np.random.Generator):
@@ -59,6 +65,60 @@ def _analytic_fields(pos: np.ndarray, t: float, phase: float):
     vy = -np.cos(2 * np.pi * (x - 0.3 * t) + phase) * np.sin(2 * np.pi * y)
     rho = 1.0 + 0.2 * np.sin(2 * np.pi * (x + y - 0.5 * t) + phase)
     return vx.astype(np.float32), vy.astype(np.float32), rho.astype(np.float32)
+
+
+def make_tetra_mesh(n_nodes: int, rng: np.random.Generator):
+    """3D Delaunay-tetrahedralized block (for deforming_plate-style cases):
+    (pos [N,3], cells [M,4], node_type [N,1] with z=0 face as handles)."""
+    pos = rng.uniform(0.0, 1.0, size=(max(n_nodes, 16), 3))
+    pos[: n_nodes // 8, 2] = 0.0  # anchor face
+    tri = Delaunay(pos)
+    cells = tri.simplices.astype(np.int64)
+    node_type = np.full((pos.shape[0], 1), NT_NORMAL, np.int32)
+    node_type[np.isclose(pos[:, 2], 0.0)] = NT_HANDLE
+    return pos.astype(np.float32), cells, node_type
+
+
+def generate_tetra_trajectory(n_nodes: int, n_frames: int, rng: np.random.Generator):
+    """world_pos dynamics: smooth squeeze of the block over time."""
+    pos, cells, node_type = make_tetra_mesh(n_nodes, rng)
+    n = pos.shape[0]
+    phase = float(rng.uniform(0, 2 * np.pi))
+    world = np.zeros((n_frames, n, 3), np.float32)
+    for ti in range(n_frames):
+        s = 1.0 - 0.2 * np.sin(0.3 * ti + phase) * pos[:, 2]
+        world[ti] = pos * s[:, None]
+    return {
+        "mesh_pos": np.broadcast_to(pos, (n_frames, n, 3)).copy(),
+        "node_type": np.broadcast_to(node_type, (n_frames, n, 1)).copy(),
+        "cells": np.broadcast_to(cells, (n_frames,) + cells.shape).copy(),
+        "world_pos": world,
+    }
+
+
+def generate_synthetic_tetra_dataset(
+    root: str,
+    name: str = "synthetic_deforming_plate",
+    n_train: int = 2,
+    n_test: int = 1,
+    n_nodes: int = 300,
+    n_frames: int = 10,
+    seed: int = 0,
+) -> str:
+    """Tetra-mesh dataset in the deforming_plate schema."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, name)
+    for split, count in (("train", n_train), ("test", n_test)):
+        split_dir = os.path.join(base, split)
+        os.makedirs(split_dir, exist_ok=True)
+        for i in range(count):
+            fields = generate_tetra_trajectory(
+                int(rng.integers(n_nodes // 2, n_nodes)), n_frames, rng
+            )
+            with h5py.File(os.path.join(split_dir, f"{i}.h5"), "w") as f:
+                for k, v in fields.items():
+                    f.create_dataset(k, data=v)
+    return base
 
 
 def generate_trajectory(

@@ -37,7 +37,7 @@ from flax import struct
 from bsms_gnn_tpu.graph.bistride import BistrideLevels, build_bistride_levels
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 6
+CACHE_VERSION = 7
 
 # Edge chunk granularity: every 128-node block's edge segment is padded to a
 # multiple of EDGE_BLOCK slots, so the Pallas segment-sum can stream
@@ -68,6 +68,10 @@ class LevelGraph:
     deg: np.ndarray  # [N_pad] f32 out-degree over real edges (>= 1)
     node_mask: np.ndarray  # [N_pad, 1] f32, 1.0 for real nodes
     edge_mask: np.ndarray  # [E_pad] f32, 1.0 for real edge slots
+    # Slot of each edge's REVERSE (level edge sets are symmetric: they come
+    # from symmetric adjacency patterns). Lets sender-aggregation reuse the
+    # receiver-sorted kernel: Σ_{send(e)=n} f[e] = Σ_{recv(e)=n} f[rev[e]].
+    reverse_perm: np.ndarray  # [E_pad] int32 (pad slots map to themselves)
     n_nodes: int = struct.field(pytree_node=False)  # real N
     n_edges: int = struct.field(pytree_node=False)  # real E
 
@@ -164,6 +168,17 @@ def _pad_level(
     receivers[slots] = r_sorted
     edge_mask[slots] = 1.0
 
+    # Reverse-edge permutation: match (s, r) with (r, s) among real slots.
+    key_fwd = s_sorted.astype(np.int64) * n_pad + r_sorted
+    key_rev = r_sorted.astype(np.int64) * n_pad + s_sorted
+    order = np.argsort(key_fwd)
+    pos_of_rev = np.searchsorted(key_fwd[order], key_rev)
+    assert np.array_equal(key_fwd[order][pos_of_rev], key_rev), (
+        "level edge set is not symmetric"
+    )
+    reverse_perm = np.arange(e_pad, dtype=np.int32)
+    reverse_perm[slots] = slots[order[pos_of_rev]].astype(np.int32)
+
     # Per-node layout offsets: block start + cumulative count within block.
     within = recv_counts.reshape(-1, NODE_BLOCK)
     within_cum = np.cumsum(within, axis=1) - within
@@ -191,6 +206,7 @@ def _pad_level(
         deg=deg,
         node_mask=node_mask,
         edge_mask=edge_mask,
+        reverse_perm=reverse_perm,
         n_nodes=n,
         n_edges=e,
     )
@@ -289,6 +305,7 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
         arrays[f"l{l}_deg"] = g.deg
         arrays[f"l{l}_node_mask"] = g.node_mask
         arrays[f"l{l}_edge_mask"] = g.edge_mask
+        arrays[f"l{l}_reverse_perm"] = g.reverse_perm
         arrays[f"l{l}_meta"] = np.array([g.n_nodes, g.n_edges], dtype=np.int64)
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
@@ -314,6 +331,7 @@ def load_hierarchy(path: str) -> Hierarchy:
                     deg=z[f"l{l}_deg"],
                     node_mask=z[f"l{l}_node_mask"],
                     edge_mask=z[f"l{l}_edge_mask"],
+                    reverse_perm=z[f"l{l}_reverse_perm"],
                     n_nodes=int(meta[0]),
                     n_edges=int(meta[1]),
                 )

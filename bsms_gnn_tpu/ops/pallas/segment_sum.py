@@ -152,6 +152,29 @@ def _forward(level, feat):
     return call(chunk_block, first, feat.astype(dtype), recv_packed)
 
 
+def segment_sum_send_pallas(level, feat) -> Optional[jax.Array]:
+    """Aggregate [E_pad, C] edge features into [N_pad, C] SENDER sums by
+    permuting each slot to its reverse edge and reusing the receiver-sorted
+    kernel (symmetric edge sets). Backward is a gather by sender."""
+    if not _supported(level, feat) or level.reverse_perm.ndim != 1:
+        return None
+
+    @jax.custom_vjp
+    def agg(f):
+        return _forward(level, jnp.take(f, level.reverse_perm, axis=-2))
+
+    def fwd(f):
+        return _forward(level, jnp.take(f, level.reverse_perm, axis=-2)), None
+
+    def bwd(_, g):
+        return (jnp.take(g, level.senders, axis=-2),)
+
+    agg.defvjp(fwd, bwd)
+    if feat.ndim == 3:
+        return jax.vmap(agg)(feat)
+    return agg(feat)
+
+
 def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
     """Aggregate [E_pad, C] edge features into [N_pad, C] receiver sums, or
     None when the kernel doesn't apply (caller falls back to ELL)."""

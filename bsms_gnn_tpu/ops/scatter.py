@@ -159,4 +159,10 @@ def aggregate_send(level: LevelGraph, feat, method: str = "ell"):
         return jax.lax.psum(_seg_sum(feat, level.senders, level.n_pad_nodes), axis)
     if method == "segment":
         return _seg_sum(feat, level.senders, level.n_pad_nodes)
+    if method == "pallas":
+        from bsms_gnn_tpu.ops.pallas import segment_sum_send_pallas
+
+        out = segment_sum_send_pallas(level, feat)
+        if out is not None:
+            return out
     return _aggregate_edges(feat, level.send_ell, level.senders)

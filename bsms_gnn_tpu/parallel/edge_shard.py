@@ -52,6 +52,7 @@ def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
             deg=repl,
             node_mask=repl,
             edge_mask=edge,
+            reverse_perm=edge,
         )
         for l in h.levels
     )

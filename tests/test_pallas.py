@@ -85,3 +85,37 @@ def test_pallas_batched_matches_single(level, rng):
     np.testing.assert_allclose(
         np.asarray(out[0]), np.asarray(single), rtol=1e-6, atol=1e-6
     )
+
+
+def test_reverse_perm_and_send_aggregation(level, rng):
+    # reverse_perm is an involution on real slots mapping (s,r)→(r,s).
+    from bsms_gnn_tpu.ops.pallas.segment_sum import segment_sum_send_pallas
+
+    rp = np.asarray(level.reverse_perm)
+    real = np.asarray(level.edge_mask) > 0
+    s_arr, r_arr = np.asarray(level.senders), np.asarray(level.receivers)
+    idx = np.flatnonzero(real)
+    np.testing.assert_array_equal(rp[rp[idx]], idx)
+    np.testing.assert_array_equal(s_arr[rp[idx]], r_arr[idx])
+    np.testing.assert_array_equal(r_arr[rp[idx]], s_arr[idx])
+
+    feat = jnp.asarray(
+        rng.standard_normal((level.n_pad_edges, 128)).astype(np.float32)
+    )
+    out = segment_sum_send_pallas(level, feat)
+    assert out is not None
+    want = aggregate_recv  # silence lint
+    from bsms_gnn_tpu.ops.scatter import aggregate_send
+
+    want = aggregate_send(level, feat, "ell")
+    n = level.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(want)[:n], rtol=1e-5, atol=1e-5
+    )
+    # Grad parity on real slots.
+    cot = jnp.asarray(rng.standard_normal((level.n_pad_nodes, 128)).astype(np.float32))
+    g_p = jax.grad(lambda f: jnp.vdot(aggregate_send(level, f, "pallas"), cot))(feat)
+    g_s = jax.grad(lambda f: jnp.vdot(aggregate_send(level, f, "segment"), cot))(feat)
+    np.testing.assert_allclose(
+        np.asarray(g_p)[idx], np.asarray(g_s)[idx], rtol=1e-5, atol=1e-5
+    )
