@@ -116,6 +116,38 @@ def _shard_axis(method: str):
     return method.split(":", 1)[1] if method.startswith("shard:") else None
 
 
+def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
+    """Gather whose backward aggregates edge cotangents through the Pallas
+    segment-sum (falling back to ELL for unsupported widths). Keeps
+    million-edge training free of [N, K, C] ELL materializations."""
+
+    @jax.custom_vjp
+    def g(x):
+        return _take(x, level.senders if to_sender else level.receivers)
+
+    def fwd(x):
+        return g(x), None
+
+    def bwd(_, ct):
+        from bsms_gnn_tpu.ops.pallas import (
+            segment_sum_pallas,
+            segment_sum_send_pallas,
+        )
+
+        if to_sender:
+            out = segment_sum_send_pallas(level, ct)
+            if out is None:
+                out = _ell_sum(ct, level.send_ell)
+        else:
+            out = segment_sum_pallas(level, ct)
+            if out is None:
+                out = _ell_sum(ct, level.recv_ell)
+        return (out,)
+
+    g.defvjp(fwd, bwd)
+    return g(x)
+
+
 def gather_send(level: LevelGraph, x, method: str = "ell"):
     """x_i = x[senders] (reference `ops/basic.py:70-72` gather).
 
@@ -123,6 +155,8 @@ def gather_send(level: LevelGraph, x, method: str = "ell"):
     the gather is purely local."""
     if method == "segment" or method.startswith("shard:"):
         return _take(x, level.senders)
+    if method == "pallas":
+        return _gather_with_pallas_bwd(level, x, to_sender=True)
     return _gather_edges(x, level.senders, level.send_ell)
 
 
@@ -130,6 +164,8 @@ def gather_recv(level: LevelGraph, x, method: str = "ell"):
     """x_j = x[receivers]."""
     if method == "segment" or method.startswith("shard:"):
         return _take(x, level.receivers)
+    if method == "pallas":
+        return _gather_with_pallas_bwd(level, x, to_sender=False)
     return _gather_edges(x, level.receivers, level.recv_ell)
 
 

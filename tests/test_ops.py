@@ -102,11 +102,13 @@ def test_custom_vjp_grads_match_segment_path(rng):
         (lambda v, m: aggregate_recv(lvl, v, m), feat, cot_n, slots),
         (lambda v, m: aggregate_send(lvl, v, m), feat, cot_n, slots),
     ]:
-        g_ell = jax.grad(lambda v: jnp.vdot(fn(v, "ell"), cot))(inp)
         g_seg = jax.grad(lambda v: jnp.vdot(fn(v, "segment"), cot))(inp)
-        np.testing.assert_allclose(
-            np.asarray(g_ell)[valid], np.asarray(g_seg)[valid], rtol=1e-5, atol=1e-5
-        )
+        for method in ("ell", "pallas"):
+            g_m = jax.grad(lambda v: jnp.vdot(fn(v, method), cot))(inp)
+            np.testing.assert_allclose(
+                np.asarray(g_m)[valid], np.asarray(g_seg)[valid],
+                rtol=1e-5, atol=1e-5,
+            )
 
 
 def test_batched_leading_dims(rng):
