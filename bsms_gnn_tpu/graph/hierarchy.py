@@ -289,6 +289,21 @@ def pad_levels(
 # ---------------------------------------------------------------------------
 
 
+def _atomic_savez(path: str, arrays: dict) -> None:
+    """Concurrency-safe cache write: unique temp name per writer (several
+    sampler threads may build the same shared cache simultaneously), atomic
+    rename, last-writer-wins."""
+    import threading
+
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+    np.savez_compressed(tmp, **arrays)
+    try:
+        os.replace(tmp + ".npz", path)
+    except FileNotFoundError:
+        if not os.path.isfile(path):
+            raise
+
+
 def _cache_key(num_layers: int, pad_multiple: int, node_buckets, edge_buckets) -> str:
     blob = f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}|{edge_buckets}"
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
@@ -310,9 +325,7 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
         arrays[f"t{l}_unpool_inv"] = t.unpool_inv
-    tmp = path + ".tmp"
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    _atomic_savez(path, arrays)
 
 
 def load_hierarchy(path: str) -> Hierarchy:
@@ -377,9 +390,7 @@ def load_or_build_levels(
     for l, kept in enumerate(levels.ids):
         arrays[f"ids{l}"] = kept
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp + ".npz", path)
+    _atomic_savez(path, arrays)
     return levels
 
 
