@@ -311,7 +311,7 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
             chunk_block, first, pre.astype(jnp.float32), w_stack, b_stack,
             recv_packed, g.astype(jnp.float32),
         )
-        return dpre, dw, db
+        return dpre.astype(pre.dtype), dw, db
 
     run.defvjp(fwd, bwd)
     if pre.ndim == 3:

@@ -159,6 +159,8 @@ def segment_sum_send_pallas(level, feat) -> Optional[jax.Array]:
     if not _supported(level, feat) or level.reverse_perm.ndim != 1:
         return None
 
+    in_dtype = feat.dtype
+
     @jax.custom_vjp
     def agg(f):
         return _forward(level, jnp.take(f, level.reverse_perm, axis=-2))
@@ -167,7 +169,7 @@ def segment_sum_send_pallas(level, feat) -> Optional[jax.Array]:
         return _forward(level, jnp.take(f, level.reverse_perm, axis=-2)), None
 
     def bwd(_, g):
-        return (jnp.take(g, level.senders, axis=-2),)
+        return (jnp.take(g, level.senders, axis=-2).astype(in_dtype),)
 
     agg.defvjp(fwd, bwd)
     if feat.ndim == 3:
@@ -181,6 +183,8 @@ def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
     if not _supported(level, feat):
         return None
 
+    in_dtype = feat.dtype
+
     @jax.custom_vjp
     def agg(f):
         return _forward(level, f)
@@ -189,7 +193,7 @@ def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
         return _forward(level, f), None
 
     def bwd(_, g):
-        return (jnp.take(g, level.receivers, axis=-2),)
+        return (jnp.take(g, level.receivers, axis=-2).astype(in_dtype),)
 
     agg.defvjp(fwd, bwd)
     if feat.ndim == 3:

@@ -120,6 +120,7 @@ def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
     """Gather whose backward aggregates edge cotangents through the Pallas
     segment-sum (falling back to ELL for unsupported widths). Keeps
     million-edge training free of [N, K, C] ELL materializations."""
+    in_dtype = x.dtype
 
     @jax.custom_vjp
     def g(x):
@@ -142,7 +143,7 @@ def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
             out = segment_sum_pallas(level, ct)
             if out is None:
                 out = _ell_sum(ct, level.recv_ell)
-        return (out,)
+        return (out.astype(in_dtype),)
 
     g.defvjp(fwd, bwd)
     return g(x)

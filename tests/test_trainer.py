@@ -182,3 +182,19 @@ def test_get_error_stacked_hierarchy():
     mean, std = tr.get_error(hs, node_in, node_tar, mask)
     assert mean.shape == (cfg.model.out_dim,)
     assert np.all(np.isfinite(mean)) and np.all(np.isfinite(std))
+
+
+def test_bf16_train_step_all_methods():
+    """bf16 compute path trains (custom-VJP cotangent dtypes must match
+    bf16 primals) for every aggregation method."""
+    for agg in ("ell", "segment", "pallas"):
+        cfg, h, node_in, node_tar, mask = _setup(warmup=0)
+        cfg.model.compute_dtype = "bfloat16"
+        cfg.model.aggregation = agg
+        tr = Trainer(cfg)
+        losses = [
+            float(tr.iter(h, node_in, node_tar, mask,
+                          jax.random.fold_in(jax.random.PRNGKey(7), i)))
+            for i in range(3)
+        ]
+        assert np.all(np.isfinite(losses)), (agg, losses)
