@@ -61,8 +61,14 @@ def bsgmp_apply(
     method: str = "ell",
     compute_dtype=None,
     remat: bool = False,
+    tap=None,
 ):
-    """h: [..., N_pad0, C]; pos: [N_pad0, pos_dim] (or batched like h)."""
+    """h: [..., N_pad0, C]; pos: [N_pad0, pos_dim] (or batched like h).
+
+    `tap(name, value)`, if given, observes per-level GMP outputs
+    ("down{i}" / "bottom" / "up{i}", each the raw GMP output before
+    pool/skip-add) for the golden parity tests — only meaningful outside
+    jit."""
     depth = hierarchy.depth
     assert len(params.down_gmps) == depth
 
@@ -79,6 +85,8 @@ def bsgmp_apply(
         level = hierarchy.levels[i]
         trans = hierarchy.transitions[i]
         h = gmp(params.down_gmps[i], level, h, pos, method, compute_dtype)
+        if tap is not None:
+            tap(f"down{i}", h)
         down_outs.append(h)
         down_ps.append(pos)
 
@@ -92,6 +100,8 @@ def bsgmp_apply(
         w = pool_nodes(trans, w)
 
     h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, pos, method, compute_dtype)
+    if tap is not None:
+        tap("bottom", h)
 
     for i in range(depth):
         d = depth - i - 1
@@ -100,6 +110,8 @@ def bsgmp_apply(
         h = unpool_nodes(trans, h)
         h = edge_conv_up(level, h, cts[d], method)
         h = gmp(params.up_gmps[i], level, h, down_ps[d], method, compute_dtype)
+        if tap is not None:
+            tap(f"up{i}", h)
         h = h + down_outs[d]
 
     return h

@@ -65,10 +65,11 @@ def dense(x, w, b, compute_dtype=None):
         return (out + b).astype(compute_dtype)
     # HIGHEST: the TPU MXU silently truncates f32 operands to bf16 under the
     # default precision — f32 mode should mean real f32 (use
-    # compute_dtype=bfloat16 explicitly for the fast path).
+    # compute_dtype=bfloat16 explicitly for the fast path). f64 inputs (CPU
+    # parity tests) keep f64 accumulation.
     return (
         jnp.matmul(
-            x, w, preferred_element_type=jnp.float32,
+            x, w, preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
             precision=jax.lax.Precision.HIGHEST,
         )
         + b
@@ -76,8 +77,10 @@ def dense(x, w, b, compute_dtype=None):
 
 
 def layer_norm(x, eps: float = 1e-5):
-    """Non-affine LayerNorm over the last axis (torch default eps)."""
-    x32 = x.astype(jnp.float32)
+    """Non-affine LayerNorm over the last axis (torch default eps). Low
+    precision inputs (bf16) are normalized in f32; f64 stays f64 so the
+    golden parity tests can run the whole network in double."""
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
