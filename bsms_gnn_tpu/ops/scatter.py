@@ -105,15 +105,15 @@ _aggregate_edges.defvjp(_aggregate_edges_fwd, _aggregate_edges_bwd)
 #   "ell"          — ELL gather + dense sum, scatter-free VJPs (default);
 #   "segment"      — sorted segment-sum (parity oracle / fallback);
 #   "pallas"       — Pallas kernel when available, else "ell";
-#   "shard:<axis>" — inside `shard_map` with edge arrays sharded along
-#                    mesh axis <axis> and node arrays replicated: local
-#                    segment-sum + psum over <axis> (the edge-partitioned
-#                    graph-parallel path, SURVEY.md §5.7).
+#   "halo:<axis>"  — inside `shard_map` on an edge-partitioned `HaloLevel`
+#                    (parallel/partition.py): local segment-sums plus one
+#                    all_to_all halo exchange per sender-side op (the
+#                    explicit graph-parallel path, SURVEY.md §5.7).
 # ---------------------------------------------------------------------------
 
 
-def _shard_axis(method: str):
-    return method.split(":", 1)[1] if method.startswith("shard:") else None
+def _halo_axis(method: str):
+    return method.split(":", 1)[1] if method.startswith("halo:") else None
 
 
 def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
@@ -149,33 +149,42 @@ def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
     return g(x)
 
 
-def gather_send(level: LevelGraph, x, method: str = "ell"):
-    """x_i = x[senders] (reference `ops/basic.py:70-72` gather).
+def gather_send(level, x, method: str = "ell"):
+    """x_i = x[senders] (reference `ops/basic.py:70-72` gather)."""
+    axis = _halo_axis(method)
+    if axis is not None:
+        from bsms_gnn_tpu.parallel import halo
 
-    Under "shard:<axis>", x is replicated and senders are an edge shard, so
-    the gather is purely local."""
-    if method == "segment" or method.startswith("shard:"):
+        return halo.gather_send(level, x, axis)
+    if method == "segment":
         return _take(x, level.senders)
     if method == "pallas":
         return _gather_with_pallas_bwd(level, x, to_sender=True)
     return _gather_edges(x, level.senders, level.send_ell)
 
 
-def gather_recv(level: LevelGraph, x, method: str = "ell"):
+def gather_recv(level, x, method: str = "ell"):
     """x_j = x[receivers]."""
-    if method == "segment" or method.startswith("shard:"):
+    axis = _halo_axis(method)
+    if axis is not None:
+        from bsms_gnn_tpu.parallel import halo
+
+        return halo.gather_recv(level, x, axis)
+    if method == "segment":
         return _take(x, level.receivers)
     if method == "pallas":
         return _gather_with_pallas_bwd(level, x, to_sender=False)
     return _gather_edges(x, level.receivers, level.recv_ell)
 
 
-def aggregate_recv(level: LevelGraph, feat, method: str = "ell"):
+def aggregate_recv(level, feat, method: str = "ell"):
     """Σ_{e: recv(e)=n} feat[e] — the `scatter_sum(…, j)` of
     reference `ops/basic.py:94,138`."""
-    axis = _shard_axis(method)
+    axis = _halo_axis(method)
     if axis is not None:
-        return jax.lax.psum(_seg_sum(feat, level.receivers, level.n_pad_nodes), axis)
+        from bsms_gnn_tpu.parallel import halo
+
+        return halo.aggregate_recv(level, feat, axis)
     if method == "segment":
         return _seg_sum(feat, level.receivers, level.n_pad_nodes)
     if method == "pallas":
@@ -187,13 +196,15 @@ def aggregate_recv(level: LevelGraph, feat, method: str = "ell"):
     return _aggregate_edges(feat, level.recv_ell, level.receivers)
 
 
-def aggregate_send(level: LevelGraph, feat, method: str = "ell"):
+def aggregate_send(level, feat, method: str = "ell"):
     """Σ_{e: send(e)=n} feat[e] — the reverse-direction scatter of the
     up-pass weighted conv (reference `ops/basic.py:136-138` with
     aggragating=False)."""
-    axis = _shard_axis(method)
+    axis = _halo_axis(method)
     if axis is not None:
-        return jax.lax.psum(_seg_sum(feat, level.senders, level.n_pad_nodes), axis)
+        from bsms_gnn_tpu.parallel import halo
+
+        return halo.aggregate_send(level, feat, axis)
     if method == "segment":
         return _seg_sum(feat, level.senders, level.n_pad_nodes)
     if method == "pallas":

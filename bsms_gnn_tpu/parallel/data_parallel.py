@@ -28,20 +28,3 @@ def shard_batch(mesh: Mesh, node_in, node_tar, node_mask, hierarchy=None):
     stacked = hierarchy.levels[0].senders.ndim == 2
     hspec = NamedSharding(mesh, P("data") if stacked else P())
     return out + (jax.device_put(hierarchy, hspec),)
-
-
-def make_dp_train_step(trainer, mesh: Mesh):
-    """Compile the trainer's step with explicit in/out shardings.
-
-    Returns step(state, hierarchy, node_in, node_tar, node_mask, key) →
-    (state, loss). The caller shards inputs with `shard_batch` /
-    `replicate_state` (or lets jit move them per the annotations).
-    """
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        trainer._train_step_impl,
-        donate_argnums=(0,),
-        in_shardings=(repl, repl, data, data, data, repl),
-        out_shardings=(repl, repl),
-    )

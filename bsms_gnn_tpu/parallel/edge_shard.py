@@ -25,16 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bsms_gnn_tpu.graph.hierarchy import Hierarchy
 
 
-def strip_ell(h: Hierarchy) -> Hierarchy:
-    """Hierarchy without ELL tables (for the "segment" aggregation path,
-    where shipping [N, K] tables would waste HBM)."""
-    import numpy as np
-
-    dummy = np.zeros((1, 1), np.int32)
-    levels = tuple(l.replace(recv_ell=dummy, send_ell=dummy) for l in h.levels)
-    return Hierarchy(levels=levels, transitions=h.transitions)
-
-
 def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
     """Hierarchy-shaped pytree of NamedShardings: edge-indexed leading dims
     shard over 'graph'; node-indexed arrays replicate (they are small next

@@ -1,0 +1,338 @@
+"""Online halo-exchange ops + the `shard_map` train step.
+
+The four data-movement primitives of the message-passing hot loop
+(reference `src/ops/basic.py:66-98,127-140`, `src/utils/basic.py:324-343`)
+on an edge-partitioned `HaloLevel` (see `parallel/partition.py`):
+
+  gather_send      x[senders]: one `all_to_all` ships each shard's boundary
+                   rows ("halo") to every consumer, then a local gather over
+                   the extended table [x_local ; halo rows].
+  aggregate_recv   Σ over edges by receiver: purely local segment-sum (every
+                   edge is owned by its receiver's shard).
+  gather_recv      x[receivers]: purely local gather.
+  aggregate_send   Σ over edges by sender: local segment-sum into the
+                   extended table, then the adjoint `all_to_all` returns
+                   remote contributions to their owners.
+
+gather_send and aggregate_send are exact adjoints, so each is the other's
+custom VJP — gradients cross shards through the same single all_to_all per
+level, with no scatters anywhere. XLA's async collectives can overlap the
+halo exchange with the node-local compute that precedes each gather (the
+per-node first-layer matmuls in `gmp_apply` are independent of the halo).
+
+The train step mirrors `training/trainer.py` semantics exactly (loss,
+warmup gate, noise, AdamW) with global sums assembled by `psum` — the
+correct realization of the reference's dead `Normalizer.synchronize`
+(`src/utils/normalizer.py:92-114`) and DataParallel path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bsms_gnn_tpu.parallel.partition import HaloLevel, PartitionPlan
+
+shard_map = jax.shard_map
+
+
+# ---------------------------------------------------------------------------
+# Halo primitives (called inside shard_map; `axis` is the mesh axis name)
+# ---------------------------------------------------------------------------
+
+
+def _halo_rows(x, halo_send, axis):
+    """Ship boundary rows: local [N_loc, C] → received halo [S*H, C]."""
+    sent = jnp.take(x, halo_send, axis=-2)  # [S, H, C] (dest-major)
+    recv = jax.lax.all_to_all(sent, axis, split_axis=0, concat_axis=0, tiled=True)
+    return recv.reshape(recv.shape[:-3] + (-1, x.shape[-1]))
+
+
+def _halo_return(contrib, halo_send, n_loc, axis):
+    """Adjoint of `_halo_rows`: contributions [S*H, C] grouped by owner go
+    back via all_to_all and accumulate into local rows at halo_send."""
+    s = halo_send.shape[0]
+    blk = contrib.reshape(contrib.shape[:-2] + (s, -1) + contrib.shape[-1:])
+    back = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=0, tiled=True)
+    flat = back.reshape(back.shape[:-3] + (-1,) + back.shape[-1:])
+    idx = halo_send.reshape(-1)
+    if flat.ndim == 2:
+        return jax.ops.segment_sum(flat, idx, num_segments=n_loc)
+    moved = jnp.moveaxis(flat, -2, 0)
+    out = jax.ops.segment_sum(moved, idx, num_segments=n_loc)
+    return jnp.moveaxis(out, 0, -2)
+
+
+def _seg_sum(feat, index, n_out):
+    if feat.ndim == 2:
+        return jax.ops.segment_sum(feat, index, num_segments=n_out)
+    moved = jnp.moveaxis(feat, -2, 0)
+    out = jax.ops.segment_sum(moved, index, num_segments=n_out)
+    return jnp.moveaxis(out, 0, -2)
+
+
+def gather_send(level: HaloLevel, x, axis: str):
+    """x: [..., N_loc, C] → [..., E_loc, C] edge-sender features."""
+
+    @jax.custom_vjp
+    def g(x):
+        halo = _halo_rows(x, level.halo_send, axis)
+        ext = jnp.concatenate([x, halo], axis=-2)
+        return jnp.take(ext, level.senders_ext, axis=-2)
+
+    def fwd(x):
+        return g(x), None
+
+    def bwd(_, ct):
+        return (_aggregate_send_impl(level, ct, axis),)
+
+    g.defvjp(fwd, bwd)
+    return g(x)
+
+
+def _aggregate_send_impl(level: HaloLevel, feat, axis: str):
+    n_loc = level.n_pad_nodes
+    s, h = level.halo_send.shape  # local view: [S_dest, H]
+    partial_ext = _seg_sum(feat, level.senders_ext, n_loc + s * h)
+    local = partial_ext[..., :n_loc, :]
+    remote = _halo_return(partial_ext[..., n_loc:, :], level.halo_send, n_loc, axis)
+    return local + remote
+
+
+def aggregate_send(level: HaloLevel, feat, axis: str):
+    """Σ_{e: send(e)=n} feat[e] (up-pass reverse conv target)."""
+
+    @jax.custom_vjp
+    def g(feat):
+        return _aggregate_send_impl(level, feat, axis)
+
+    def fwd(feat):
+        return g(feat), None
+
+    def bwd(_, ct):
+        halo = _halo_rows(ct, level.halo_send, axis)
+        ext = jnp.concatenate([ct, halo], axis=-2)
+        return (jnp.take(ext, level.senders_ext, axis=-2),)
+
+    g.defvjp(fwd, bwd)
+    return g(feat)
+
+
+def gather_recv(level: HaloLevel, x, axis: str):
+    """x[receivers] — local."""
+
+    @jax.custom_vjp
+    def g(x):
+        return jnp.take(x, level.receivers, axis=-2)
+
+    def fwd(x):
+        return g(x), None
+
+    def bwd(_, ct):
+        return (_seg_sum(ct, level.receivers, level.n_pad_nodes),)
+
+    g.defvjp(fwd, bwd)
+    return g(x)
+
+
+def aggregate_recv(level: HaloLevel, feat, axis: str):
+    """Σ_{e: recv(e)=n} feat[e] — local (edges are receiver-owned)."""
+
+    @jax.custom_vjp
+    def g(feat):
+        return _seg_sum(feat, level.receivers, level.n_pad_nodes)
+
+    def fwd(feat):
+        return g(feat), None
+
+    def bwd(_, ct):
+        return (jnp.take(ct, level.receivers, axis=-2),)
+
+    g.defvjp(fwd, bwd)
+    return g(feat)
+
+
+# ---------------------------------------------------------------------------
+# Sharded train / eval steps
+# ---------------------------------------------------------------------------
+
+
+def _local(tree):
+    """Strip the leading shard axis shard_map leaves on every sliced leaf."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def masked_rmse_psum(pred, tar, mask, axis: str):
+    """√(Σ mask·se / Σ mask / C) with globally-psummed sums — identical to
+    the reference loss (`trainer.py:96-97`) on the unpartitioned batch."""
+    se = jnp.square(pred - tar)
+    num = jax.lax.psum(jnp.sum(se * mask), axis)
+    den = jax.lax.psum(jnp.sum(mask), axis)
+    return jnp.sqrt(num / den / se.shape[-1])
+
+
+def make_halo_train_step(trainer, mesh: Mesh, plan: PartitionPlan,
+                         axis: str = "graph") -> Callable:
+    """Compile the trainer's step over edge-partitioned node shards.
+
+    Returns step(state, node_in, node_tar, node_mask, key) → (state, loss),
+    where node arrays are shard-major [S, ..., N_loc, C] from
+    `partition_nodes`. State replicates; loss is the exact global loss.
+    """
+    from bsms_gnn_tpu.models.normalizer import (
+        normalizer_apply_sums,
+        normalizer_row_sums,
+    )
+    from bsms_gnn_tpu.models.simulator import (
+        SimulatorState,
+        simulator_forward,
+        split_node_input,
+        target_delta,
+    )
+    from bsms_gnn_tpu.training.trainer import TrainState
+
+    cfg = trainer.cfg
+    mcfg = dataclasses.replace(cfg.model, aggregation=f"halo:{axis}")
+    hier = plan.hierarchy
+
+    def inner(state, hier_s, node_in, node_tar, node_mask, key):
+        h = _local(hier_s)
+        node_in, node_tar, node_mask = node_in[0], node_tar[0], node_mask[0]
+
+        # Per-shard independent noise (statistically identical to the
+        # single-device draw; zero noise_level reproduces it exactly).
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        noise = (
+            jax.random.normal(shard_key, node_tar.shape, node_tar.dtype)
+            * jnp.asarray(trainer._noise_level)
+        )
+        noise = jnp.where(node_mask == 0, 0.0, noise)
+        c = trainer._noise_level.shape[0]
+        node_in = node_in.at[..., :c].add(noise)
+        node_tar = node_tar + (1.0 - trainer._noise_gamma) * noise
+
+        pad_mask = jnp.broadcast_to(h.levels[0].node_mask, node_mask.shape)
+
+        def warmup_branch(args):
+            state, node_in, node_tar = args
+            latent_input, _, _ = split_node_input(node_in, mcfg.pos_dim)
+            delta = target_delta(latent_input, node_tar, mcfg.pos_dim)
+            sums_in = normalizer_row_sums(state.sim.norm_in, latent_input, pad_mask)
+            sums_out = normalizer_row_sums(state.sim.norm_out, delta, pad_mask)
+            sums_in = jax.lax.psum(sums_in, axis)
+            sums_out = jax.lax.psum(sums_out, axis)
+            sim = SimulatorState(
+                params=state.sim.params,
+                norm_in=normalizer_apply_sums(state.sim.norm_in, *sums_in),
+                norm_out=normalizer_apply_sums(state.sim.norm_out, *sums_out),
+            )
+            loss = masked_rmse_psum(
+                jnp.zeros_like(node_tar), node_tar, node_mask, axis
+            )
+            return TrainState(sim=sim, opt_state=state.opt_state,
+                              step=state.step + 1), loss
+
+        def train_branch(args):
+            state, node_in, node_tar = args
+
+            def loss_fn(params):
+                pred = simulator_forward(
+                    params, state.sim.norm_in, state.sim.norm_out, h,
+                    node_in, node_mask, mcfg, trainer.compute_dtype,
+                )
+                return masked_rmse_psum(pred, node_tar, node_mask, axis)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.sim.params)
+            grads = jax.lax.psum(grads, axis)
+            updates, new_opt = trainer.tx.update(
+                grads, state.opt_state, state.sim.params
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.sim.params, updates
+            )
+            sim = SimulatorState(
+                params=new_params, norm_in=state.sim.norm_in,
+                norm_out=state.sim.norm_out,
+            )
+            return TrainState(sim=sim, opt_state=new_opt,
+                              step=state.step + 1), loss
+
+        return jax.lax.cond(
+            state.step < mcfg.accumulation_steps,
+            warmup_branch, train_branch, (state, node_in, node_tar),
+        )
+
+    hier_spec = jax.tree_util.tree_map(lambda _: P(axis), hier)
+    mapped = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), hier_spec, P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    hier_dev = jax.device_put(
+        hier, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(axis)), hier
+        )
+    )
+
+    n_shards = hier.levels[0].n_shards
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def jit_step(state, node_in, node_tar, node_mask, key):
+        return mapped(state, hier_dev, node_in, node_tar, node_mask, key)
+
+    def step(state, node_in, node_tar, node_mask, key):
+        for name, a in (("node_in", node_in), ("node_tar", node_tar),
+                        ("node_mask", node_mask)):
+            if a.shape[0] != n_shards:
+                raise ValueError(
+                    f"{name} must be shard-major [S={n_shards}, ..., N_loc, C] "
+                    f"(use partition_nodes), got shape {a.shape}"
+                )
+        return jit_step(state, node_in, node_tar, node_mask, key)
+
+    return step
+
+
+def make_halo_forward(trainer, mesh: Mesh, plan: PartitionPlan,
+                      axis: str = "graph") -> Callable:
+    """Jitted sharded inference: (sim_state, node_in [S,...], node_mask) →
+    shard-major predictions."""
+    from bsms_gnn_tpu.models.simulator import simulator_forward
+
+    mcfg = dataclasses.replace(trainer.cfg.model, aggregation=f"halo:{axis}")
+    hier = plan.hierarchy
+
+    def inner(sim, hier_s, node_in, node_mask):
+        h = _local(hier_s)
+        pred = simulator_forward(
+            sim.params, sim.norm_in, sim.norm_out, h,
+            node_in[0], node_mask[0], mcfg, trainer.compute_dtype,
+        )
+        return pred[None]
+
+    hier_spec = jax.tree_util.tree_map(lambda _: P(axis), hier)
+    mapped = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), hier_spec, P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    hier_dev = jax.device_put(
+        hier, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(axis)), hier
+        )
+    )
+
+    @jax.jit
+    def fwd(sim, node_in, node_mask):
+        return mapped(sim, hier_dev, node_in, node_mask)
+
+    return fwd

@@ -1,0 +1,271 @@
+"""Offline edge-partitioning of a bi-stride hierarchy for halo-exchange SPMD.
+
+This is the explicit multi-chip decomposition SURVEY.md §5.7 calls the graph
+analog of context parallelism (BASELINE.md "edge-partitioned levels, halo
+all-to-all"): each level's nodes are split into contiguous shards, each edge
+is owned by its RECEIVER's shard (so receiver-side aggregation is purely
+local), and the sender features an edge needs from other shards form a
+static per-pair "halo" exchanged with one `all_to_all` per gather.
+
+Alignment across levels: a coarse node lives on the shard of the fine node
+it was kept from (`assignment[l+1] = assignment[l][kept]`), so pool/unpool
+are local gathers — no communication in the level transitions at all. The
+only cross-chip traffic in a full U-Net step is the sender halo per level.
+
+Everything here is NumPy precompute; the online ops live in
+`bsms_gnn_tpu.parallel.halo`. Reference counterpart: none — the reference
+(`src/trainer/trainer.py:15-18`) never partitions the graph; this is the
+TPU-native capability BASELINE.md's ≥80% scaling target names.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from flax import struct
+
+from bsms_gnn_tpu.graph.bistride import BistrideLevels
+from bsms_gnn_tpu.graph.hierarchy import Transition
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return ((max(n, 0) + multiple - 1) // multiple) * multiple
+
+
+@struct.dataclass
+class HaloLevel:
+    """One level's per-shard local graph. Every array has leading axis S
+    (the shard axis, split by `shard_map`); inside the mapped function each
+    leaf is sliced to its local [1, ...] block.
+
+    Local node layout per shard: the shard's real nodes in global order,
+    then padding; the LAST local row (n_loc-1) is the pad node. Edge slots
+    pad with self-loops on the pad node.
+
+    `senders_ext` indexes the extended local table [x_loc ; halo rows]:
+    values < n_loc are local senders; value n_loc + t*H + h means "the h-th
+    node shard t ships here" (see `halo_send`).
+
+    `halo_send[s, d, h]` = shard s's local index of the h-th node it ships
+    to shard d (pad slots point at s's pad node and ship zeros-by-masking).
+    """
+
+    senders_ext: np.ndarray  # [S, E_loc] int32
+    receivers: np.ndarray  # [S, E_loc] int32 (local)
+    deg: np.ndarray  # [S, N_loc] f32 global out-degree (>=1)
+    node_mask: np.ndarray  # [S, N_loc, 1] f32
+    edge_mask: np.ndarray  # [S, E_loc] f32
+    halo_send: np.ndarray  # [S, S, H] int32
+    n_shards: int = struct.field(pytree_node=False)
+    halo_width: int = struct.field(pytree_node=False)  # H
+    n_nodes: int = struct.field(pytree_node=False)  # total real nodes
+    n_edges: int = struct.field(pytree_node=False)  # total real edges
+
+    @property
+    def n_pad_nodes(self) -> int:  # local padded node count
+        return self.deg.shape[-1]
+
+    @property
+    def n_pad_edges(self) -> int:
+        return self.senders_ext.shape[-1]
+
+
+@struct.dataclass
+class HaloHierarchy:
+    levels: Tuple[HaloLevel, ...]
+    transitions: Tuple[Transition, ...]  # per-shard local pool/unpool tables
+
+    @property
+    def depth(self) -> int:
+        return len(self.transitions)
+
+
+@struct.dataclass
+class PartitionPlan:
+    """Hierarchy shards + the level-0 node permutation for feature I/O."""
+
+    hierarchy: HaloHierarchy
+    perm: np.ndarray  # [S, N_loc0] global row id per local slot (pad -> pad row)
+    n_global: int = struct.field(pytree_node=False)  # global PADDED row count
+    n_real: int = struct.field(pytree_node=False)  # global real node count
+
+
+def _partition_level(
+    edges: np.ndarray,
+    n: int,
+    deg_global: np.ndarray,
+    assignment: np.ndarray,
+    n_shards: int,
+    block: int,
+) -> Tuple[HaloLevel, List[np.ndarray], np.ndarray]:
+    """Build one HaloLevel. Returns (level, owned-node lists, local index of
+    each global node)."""
+    s_count = np.bincount(assignment, minlength=n_shards)
+    n_loc = _pad_to(int(s_count.max()) + 1, block)
+    owned = [np.flatnonzero(assignment == s) for s in range(n_shards)]
+    local_of = np.empty(n, np.int64)
+    for s in range(n_shards):
+        local_of[owned[s]] = np.arange(len(owned[s]))
+
+    snd, rcv = edges[0], edges[1]
+    e_owner = assignment[rcv]
+    e_counts = np.bincount(e_owner, minlength=n_shards)
+    e_loc = _pad_to(max(int(e_counts.max()), 1), block)
+
+    # Halo lists: for each (dest s, owner t != s) the unique remote senders.
+    halo_lists = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
+    for s in range(n_shards):
+        es = e_owner == s
+        remote = snd[es][assignment[snd[es]] != s]
+        if len(remote):
+            remote = np.unique(remote)
+            for t in range(n_shards):
+                halo_lists[s][t] = remote[assignment[remote] == t]
+    h_max = max(
+        (len(halo_lists[s][t]) for s in range(n_shards) for t in range(n_shards)),
+        default=0,
+    )
+    H = max(_pad_to(h_max, 8), 8)
+
+    halo_send = np.full((n_shards, n_shards, H), n_loc - 1, np.int32)
+    # Ext slot of global node g for dest shard s: n_loc + t*H + pos.
+    ext_slot = {}  # (s, g) -> ext index
+    for s in range(n_shards):
+        for t in range(n_shards):
+            lst = halo_lists[s][t]
+            if len(lst):
+                halo_send[t, s, : len(lst)] = local_of[lst].astype(np.int32)
+                for h, g in enumerate(lst):
+                    ext_slot[(s, int(g))] = n_loc + t * H + h
+
+    senders_ext = np.full((n_shards, e_loc), n_loc - 1, np.int32)
+    receivers = np.full((n_shards, e_loc), n_loc - 1, np.int32)
+    edge_mask = np.zeros((n_shards, e_loc), np.float32)
+    for s in range(n_shards):
+        es = np.flatnonzero(e_owner == s)
+        # Receiver-sorted within the shard (locally contiguous segments).
+        es = es[np.argsort(local_of[rcv[es]], kind="stable")]
+        k = len(es)
+        receivers[s, :k] = local_of[rcv[es]]
+        loc_snd = np.empty(k, np.int64)
+        snd_s = snd[es]
+        is_local = assignment[snd_s] == s
+        loc_snd[is_local] = local_of[snd_s[is_local]]
+        for i in np.flatnonzero(~is_local):
+            loc_snd[i] = ext_slot[(s, int(snd_s[i]))]
+        senders_ext[s, :k] = loc_snd
+        edge_mask[s, :k] = 1.0
+
+    deg = np.ones((n_shards, n_loc), np.float32)
+    node_mask = np.zeros((n_shards, n_loc, 1), np.float32)
+    for s in range(n_shards):
+        k = len(owned[s])
+        deg[s, :k] = np.maximum(deg_global[owned[s]], 1.0)
+        node_mask[s, :k, 0] = 1.0
+
+    level = HaloLevel(
+        senders_ext=senders_ext,
+        receivers=receivers,
+        deg=deg,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        halo_send=halo_send,
+        n_shards=n_shards,
+        halo_width=H,
+        n_nodes=n,
+        n_edges=edges.shape[1],
+    )
+    return level, owned, local_of
+
+
+def build_partition(
+    levels: BistrideLevels,
+    n_shards: int,
+    n_global_pad: int,
+    block: int = 128,
+) -> PartitionPlan:
+    """Partition raw bi-stride levels into an S-shard halo plan.
+
+    `n_global_pad` is the row count of the (padded) global feature arrays the
+    caller will feed `partition_nodes` (their pad rows must be zero)."""
+    graphs, ids = levels.graphs, levels.ids
+    n0 = graphs[0].num_nodes
+    # Contiguous index blocks at level 0 (mesh numbering is usually spatially
+    # coherent; a BFS-band or METIS ordering can be applied upstream by
+    # permuting the mesh ids).
+    per = -(-n0 // n_shards)
+    assignment = np.minimum(np.arange(n0) // per, n_shards - 1)
+
+    halo_levels = []
+    owned_per_level = []
+    local_per_level = []
+    assignments = []
+    for l, g in enumerate(graphs):
+        deg_g = g.degrees().astype(np.float32)
+        lvl, owned, local_of = _partition_level(
+            g.flat_edges, g.num_nodes, deg_g, assignment, n_shards, block
+        )
+        halo_levels.append(lvl)
+        owned_per_level.append(owned)
+        local_per_level.append(local_of)
+        assignments.append(assignment)
+        if l < len(ids):
+            assignment = assignment[ids[l]]
+
+    transitions = []
+    for l, kept in enumerate(ids):
+        n_loc_p = halo_levels[l].n_pad_nodes
+        n_loc_c = halo_levels[l + 1].n_pad_nodes
+        pool_local = np.full((n_shards, n_loc_c), n_loc_p - 1, np.int32)
+        unpool_local = np.full((n_shards, n_loc_p), n_loc_c, np.int32)
+        parent_local = local_per_level[l]
+        child_local = local_per_level[l + 1]
+        child_assign = assignments[l + 1]
+        for s in range(n_shards):
+            cs = np.flatnonzero(child_assign == s)  # child global ids on s
+            pool_local[s, child_local[cs]] = parent_local[kept[cs]].astype(np.int32)
+            unpool_local[s, parent_local[kept[cs]]] = child_local[cs].astype(np.int32)
+        transitions.append(Transition(pool_ids=pool_local, unpool_inv=unpool_local))
+
+    n_loc0 = halo_levels[0].n_pad_nodes
+    assert n_global_pad > n0, "global arrays must carry at least one pad row"
+    perm = np.full((n_shards, n_loc0), n_global_pad - 1, np.int64)
+    for s in range(n_shards):
+        o = owned_per_level[0][s]
+        perm[s, : len(o)] = o
+
+    return PartitionPlan(
+        hierarchy=HaloHierarchy(
+            levels=tuple(halo_levels), transitions=tuple(transitions)
+        ),
+        perm=perm,
+        n_global=n_global_pad,
+        n_real=n0,
+    )
+
+
+def partition_nodes(plan: PartitionPlan, x: np.ndarray) -> np.ndarray:
+    """Global [..., N_pad, C] → shard-major [S, ..., N_loc, C] (pad slots
+    read the global pad row, which is zero by construction)."""
+    x = np.asarray(x)
+    out = np.take(x, plan.perm.reshape(-1), axis=-2)
+    s, n_loc = plan.perm.shape
+    out = out.reshape(x.shape[:-2] + (s, n_loc) + x.shape[-1:])
+    return np.moveaxis(out, -3, 0) if x.ndim > 2 else out
+
+
+def unpartition_nodes(plan: PartitionPlan, y: np.ndarray) -> np.ndarray:
+    """Shard-major [S, ..., N_loc, C] → global [..., N_pad, C]; global pad
+    rows are zeroed."""
+    y = np.asarray(y)
+    s, n_loc = plan.perm.shape
+    flat = np.moveaxis(y, 0, -3) if y.ndim > 3 else y
+    lead = flat.shape[:-3]
+    flat = flat.reshape(lead + (s * n_loc,) + y.shape[-1:])
+    inv = np.zeros(plan.n_global, np.int64)
+    valid = plan.perm.reshape(-1) < plan.n_global - 1
+    inv[plan.perm.reshape(-1)[valid]] = np.flatnonzero(valid)
+    out = np.take(flat, inv, axis=-2)
+    out[..., plan.n_real :, :] = 0.0
+    return out

@@ -1,0 +1,192 @@
+"""Explicit halo-exchange edge partitioning (shard_map) must match the
+single-device model exactly: partition round-trip, forward, loss, gradients,
+one full train step incl. the normalizer warmup, on the 8-virtual-device CPU
+mesh (SURVEY.md §5.7, BASELINE.md edge-partitioned north star)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_grid_mesh
+
+from bsms_gnn_tpu.config import Config, DatasetConfig, ModelConfig, OptConfig
+from bsms_gnn_tpu.graph.bistride import build_bistride_levels
+from bsms_gnn_tpu.graph.hierarchy import pad_levels
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+from bsms_gnn_tpu.models.simulator import simulator_forward
+from bsms_gnn_tpu.parallel import (
+    build_partition,
+    make_halo_forward,
+    make_halo_train_step,
+    make_mesh,
+    partition_nodes,
+    unpartition_nodes,
+)
+from bsms_gnn_tpu.parallel.halo import (
+    aggregate_recv as h_aggregate_recv,
+    aggregate_send as h_aggregate_send,
+    gather_send as h_gather_send,
+)
+from bsms_gnn_tpu.training import Trainer
+
+OUT = 3
+
+
+def _cfg(**model_kw):
+    model = dict(
+        unet_depth=2, latent_dim=16, hidden_layer=1, out_dim=OUT,
+        accumulation_steps=1, aggregation="ell",
+    )
+    model.update(model_kw)
+    return Config(
+        datasets=DatasetConfig(noise_level=[0.0] * OUT),
+        model=ModelConfig(**model),
+        opt=OptConfig(warmup_steps=2, decay_steps=20),
+    )
+
+
+def _setup(n_shards=4):
+    cfg = _cfg()
+    pos, cells = make_grid_mesh(9, 9)
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    levels = build_bistride_levels(edges, cfg.model.unet_depth, n, pos)
+    h = pad_levels(levels, pad_multiple=32)
+    n_pad = h.levels[0].n_pad_nodes
+    plan = build_partition(levels, n_shards, n_pad, block=32)
+
+    rng = np.random.default_rng(3)
+    node_in = np.zeros((n_pad, OUT + 3), np.float32)
+    node_in[:n, :OUT] = rng.standard_normal((n, OUT))
+    node_in[:n, OUT:OUT + 2] = pos
+    node_tar = np.zeros((n_pad, OUT), np.float32)
+    node_tar[:n] = node_in[:n, :OUT] + 0.05 * rng.standard_normal((n, OUT))
+    mask = np.zeros((n_pad, 1), np.float32)
+    mask[:n] = 1.0
+    return cfg, h, plan, n, node_in, node_tar, mask
+
+
+def test_partition_round_trip():
+    _, _, plan, n, node_in, _, _ = _setup()
+    sh = partition_nodes(plan, node_in)
+    assert sh.shape[0] == 4
+    back = unpartition_nodes(plan, sh)
+    np.testing.assert_array_equal(back, node_in)
+
+
+def test_halo_primitives_match_global():
+    """gather_send / aggregate_recv / aggregate_send on the partitioned
+    level equal the global dense-graph operations."""
+    _, h, plan, n, _, _, _ = _setup()
+    level_g = h.levels[0]
+    level_s = plan.hierarchy.levels[0]
+    rng = np.random.default_rng(0)
+    c = 5
+    x = np.zeros((plan.n_global, c), np.float32)
+    x[:n] = rng.standard_normal((n, c))
+
+    mesh = make_mesh(1, 4)
+    x_sh = jnp.asarray(partition_nodes(plan, x))
+    from jax.sharding import PartitionSpec as P
+
+    spec = jax.tree_util.tree_map(lambda _: P("graph"), level_s)
+
+    def agg_roundtrip(lvl_s, xs):
+        lvl = jax.tree_util.tree_map(lambda a: a[0], lvl_s)
+        xe = h_gather_send(lvl, xs[0], "graph")
+        down = h_aggregate_recv(lvl, xe, "graph")
+        up = h_aggregate_send(lvl, xe, "graph")
+        return down[None], up[None]
+
+    down_s, up_s = jax.shard_map(
+        agg_roundtrip, mesh=mesh,
+        in_specs=(spec, P("graph")), out_specs=(P("graph"), P("graph")),
+        check_vma=False,
+    )(level_s, x_sh)
+
+    # Global reference: for each node, sum of x[sender] over in-edges /
+    # out-edges.
+    snd, rcv = level_g.senders, level_g.receivers
+    em = level_g.edge_mask
+    xe = x[snd] * em[:, None]
+    down_g = np.zeros_like(x)
+    np.add.at(down_g, rcv, xe)
+    up_g = np.zeros_like(x)
+    np.add.at(up_g, snd, xe)
+
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(down_s))[:n], down_g[:n],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(up_s))[:n], up_g[:n],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_halo_forward_matches_single_device():
+    cfg, h, plan, n, node_in, _, mask = _setup()
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), cfg.model,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_halo_train_step_matches_single_device(n_shards):
+    """Warmup step (normalizer stats) + two optimizer steps: loss, params,
+    and statistics must match the unpartitioned trainer."""
+    cfg, h, plan, n, node_in, node_tar, mask = _setup(n_shards)
+
+    tr_ref = Trainer(cfg)
+    key = jax.random.PRNGKey(5)
+    losses_ref = [
+        float(tr_ref.iter(h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                          jnp.asarray(mask), jax.random.fold_in(key, i)))
+        for i in range(3)
+    ]
+
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, n_shards)
+    step = make_halo_train_step(tr, mesh, plan)
+    state = tr.state
+    ni = jnp.asarray(partition_nodes(plan, node_in))
+    nt = jnp.asarray(partition_nodes(plan, node_tar))
+    nm = jnp.asarray(partition_nodes(plan, mask))
+    losses = []
+    for i in range(3):
+        state, loss = step(state, ni, nt, nm, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.sim.params),
+        jax.tree_util.tree_leaves(tr_ref.state.sim.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.sim.norm_in.e_x),
+        np.asarray(tr_ref.state.sim.norm_in.e_x),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.sim.norm_out.e_x2),
+        np.asarray(tr_ref.state.sim.norm_out.e_x2),
+        rtol=1e-5, atol=1e-7,
+    )
