@@ -115,15 +115,17 @@ def run_train(cfg: Config) -> None:
 
             if _log_cadence(step, cfg.loss_freq, total_steps):
                 ni, nt, nm = _batch_arrays(batch)
-                board_loss(logger, "train", step,
-                           float(trainer.get_loss(batch.hierarchy, ni, nt, nm)))
-                mean, std = trainer.get_error(batch.hierarchy, ni, nt, nm)
+                loss, mean, std = trainer.get_loss_and_error(
+                    batch.hierarchy, ni, nt, nm
+                )
+                board_loss(logger, "train", step, loss)
                 print_error_table("train", step, mean, std)
                 tb = next(test_sampler)
                 tni, tnt, tnm = _batch_arrays(tb)
-                board_loss(logger, "test", step,
-                           float(trainer.get_loss(tb.hierarchy, tni, tnt, tnm)))
-                mean, std = trainer.get_error(tb.hierarchy, tni, tnt, tnm)
+                loss, mean, std = trainer.get_loss_and_error(
+                    tb.hierarchy, tni, tnt, tnm
+                )
+                board_loss(logger, "test", step, loss)
                 print_error_table("test", step, mean, std)
 
             if cfg.plot and step > 0 and step % cfg.plot_freq == 0:

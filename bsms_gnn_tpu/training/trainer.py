@@ -38,8 +38,6 @@ from bsms_gnn_tpu.models.simulator import (
     init_simulator,
     simulator_forward_auto,
     simulator_warmup,
-    target_delta,
-    split_node_input,
 )
 from bsms_gnn_tpu.training.schedule import warmup_cosine_schedule
 
@@ -141,10 +139,7 @@ class Trainer:
             )
             # Loss against the zero prediction, for logging parity with the
             # reference's warmup (`model.py:108-125`).
-            latent_input, _, _ = split_node_input(node_in, self.cfg.model.pos_dim)
-            delta = target_delta(latent_input, node_tar, self.cfg.model.pos_dim)
             loss = masked_rmse(jnp.zeros_like(node_tar), node_tar, node_mask)
-            del delta
             return TrainState(sim=sim, opt_state=state.opt_state, step=state.step + 1), loss
 
         def train_branch(args):
@@ -192,6 +187,21 @@ class Trainer:
         pred = self.get_pred(hierarchy, node_in, node_mask)
         return masked_rmse(pred, node_tar, node_mask)
 
+    def get_loss_and_error(
+        self, hierarchy: Hierarchy, node_in, node_tar, node_mask,
+        relative: bool = True,
+    ) -> Tuple[float, np.ndarray, np.ndarray]:
+        """(loss, per-channel error mean, std) from ONE forward pass — the
+        logging cadence needs both, and the reference's separate
+        `get_loss`/`get_error` calls each re-ran the model on the same batch
+        (`src/train.py:66-79`)."""
+        pred = self.get_pred(hierarchy, node_in, node_mask)
+        loss = float(masked_rmse(pred, node_tar, node_mask))
+        mean, std = self._error_stats(
+            np.asarray(pred), np.asarray(node_tar), np.asarray(node_mask), relative
+        )
+        return loss, mean, std
+
     def get_error(self, hierarchy: Hierarchy, node_in, node_tar, node_mask,
                   relative: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         """Per-channel (relative) error mean/std (ref `get_error`,
@@ -199,8 +209,12 @@ class Trainer:
         averages zeros for masked nodes into the mean; padded batching makes
         that convention meaningless, so we restrict to mask==1)."""
         pred = np.asarray(self.get_pred(hierarchy, node_in, node_mask))
-        tar = np.asarray(node_tar)
-        mask = np.asarray(node_mask)
+        return self._error_stats(pred, np.asarray(node_tar), np.asarray(node_mask),
+                                 relative)
+
+    @staticmethod
+    def _error_stats(pred: np.ndarray, tar: np.ndarray, mask: np.ndarray,
+                     relative: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         err = np.sqrt(np.where(mask > 0, (pred - tar) ** 2, 0.0))
         if relative:
             tar_sqr = np.where(mask > 0, tar**2, 0.0)
