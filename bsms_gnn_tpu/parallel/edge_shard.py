@@ -25,20 +25,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bsms_gnn_tpu.graph.hierarchy import Hierarchy
 
 
-def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
-    """Hierarchy-shaped pytree of NamedShardings: edge-indexed leading dims
+def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
+    """Hierarchy-shaped pytree of PartitionSpecs: edge-indexed leading dims
     shard over 'graph'; node-indexed arrays replicate (they are small next
     to edge features and are gathered from everywhere)."""
-    edge = NamedSharding(mesh, P("graph"))
-    ell = NamedSharding(mesh, P())  # ELL tables: replicated rows
-    repl = NamedSharding(mesh, P())
+    edge = P("graph")
+    repl = P()
     levels = tuple(
         l.replace(
             senders=edge,
             receivers=edge,
             recv_indptr=repl,
-            recv_ell=ell if l.recv_ell.shape[0] > 1 else repl,
-            send_ell=ell if l.send_ell.shape[0] > 1 else repl,
+            recv_ell=repl,
+            send_ell=repl,
             deg=repl,
             node_mask=repl,
             edge_mask=edge,
@@ -50,6 +49,15 @@ def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
         t.replace(pool_ids=repl, unpool_inv=repl) for t in h.transitions
     )
     return Hierarchy(levels=levels, transitions=transitions)
+
+
+def hierarchy_shardings(h: Hierarchy, mesh: Mesh) -> Hierarchy:
+    """`hierarchy_pspecs` materialized as NamedShardings on `mesh`."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        hierarchy_pspecs(h),
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def shard_hierarchy(h: Hierarchy, mesh: Mesh) -> Hierarchy:

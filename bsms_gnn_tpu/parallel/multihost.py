@@ -29,9 +29,12 @@ def init_multihost(
 ) -> None:
     """Initialize the distributed runtime. With no args on a TPU pod slice,
     JAX auto-discovers from the TPU metadata; pass explicit values for
-    CPU/GPU clusters or manual launches. Safe to call once per process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    CPU/GPU clusters or manual launches. Safe to call once per process.
+
+    Must run before anything touches the XLA backend (jax.devices etc.) —
+    so the check below uses `is_initialized`, not `process_count`."""
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
