@@ -57,6 +57,13 @@ class ModelConfig:
     # Normalizer warmup steps (NOT gradient accumulation; see reference
     # `trainer.py:55,146` where this gates loss.backward()).
     accumulation_steps: int = 300
+    # World-space edge features (Δworld, ‖Δworld‖ alongside Δmesh) for the
+    # contact cases — the capability the reference's 2024 rewrite dropped
+    # (reference README.md:10). Requires the first world_dim output channels
+    # to be world_pos. world_dim=0 means "same as pos_dim" (flag_simple has
+    # a 2-D mesh embedded in 3-D world space, so it sets world_dim: 3).
+    world_edges: bool = False
+    world_dim: int = 0
     # TPU-native knobs.
     aggregation: str = "ell"  # one of {"ell", "segment", "pallas"}
     compute_dtype: str = "float32"  # matmul compute dtype: "float32"|"bfloat16"

@@ -43,6 +43,8 @@ _MASKS = {
     "deforming_plate": _mask_normal_only,
     "synthetic_deforming_plate": _mask_normal_only,
     "flag_simple": _mask_normal_only,
+    "inflating_font": _mask_normal_only,
+    "synthetic_inflating_font": _mask_normal_only,
 }
 
 DATASET_HANDLER = sorted(_MASKS)

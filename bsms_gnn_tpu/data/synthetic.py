@@ -121,6 +121,79 @@ def generate_synthetic_tetra_dataset(
     return base
 
 
+def make_sphere_mesh(n_nodes: int, rng: np.random.Generator):
+    """Closed triangulated surface in 3D (inflating-font-style cases):
+    Fibonacci-sphere points + convex hull. Returns (pos [N,3], cells [M,3],
+    node_type [N,1] with the bottom cap as handles)."""
+    from scipy.spatial import ConvexHull
+
+    n = max(n_nodes, 32)
+    i = np.arange(n, dtype=np.float64)
+    golden = (1 + 5**0.5) / 2
+    z = 1 - 2 * (i + 0.5) / n
+    r = np.sqrt(np.maximum(1 - z**2, 0.0))
+    theta = 2 * np.pi * i / golden
+    pos = np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=-1)
+    pos += rng.normal(0, 1e-3, pos.shape)  # break hull degeneracies
+    pos /= np.linalg.norm(pos, axis=-1, keepdims=True)
+    hull = ConvexHull(pos)
+    cells = hull.simplices.astype(np.int64)
+    node_type = np.full((n, 1), NT_NORMAL, np.int32)
+    node_type[pos[:, 2] < np.quantile(pos[:, 2], 0.05)] = NT_HANDLE
+    return pos.astype(np.float32), cells, node_type
+
+
+def generate_inflating_trajectory(n_nodes: int, n_frames: int,
+                                  rng: np.random.Generator):
+    """world_pos dynamics: the surface inflates radially with a smooth
+    angular bulge; handle nodes stay at rest (Dirichlet)."""
+    pos, cells, node_type = make_sphere_mesh(n_nodes, rng)
+    n = pos.shape[0]
+    phase = float(rng.uniform(0, 2 * np.pi))
+    handles = (node_type[:, 0] == NT_HANDLE)
+    world = np.zeros((n_frames, n, 3), np.float32)
+    for ti in range(n_frames):
+        inflate = 1.0 + 0.25 * (1 - np.cos(0.35 * ti + 0.0)) / 2
+        bulge = 1.0 + 0.08 * np.sin(3 * np.arctan2(pos[:, 1], pos[:, 0]) + phase) \
+            * np.sin(0.35 * ti)
+        scale = inflate * bulge  # [N]
+        w = pos * scale[:, None]
+        w[handles] = pos[handles]
+        world[ti] = w
+    return {
+        "mesh_pos": np.broadcast_to(pos, (n_frames, n, 3)).copy(),
+        "node_type": np.broadcast_to(node_type, (n_frames, n, 1)).copy(),
+        "cells": np.broadcast_to(cells, (n_frames,) + cells.shape).copy(),
+        "world_pos": world,
+    }
+
+
+def generate_synthetic_inflating_dataset(
+    root: str,
+    name: str = "synthetic_inflating_font",
+    n_train: int = 2,
+    n_test: int = 1,
+    n_nodes: int = 400,
+    n_frames: int = 10,
+    seed: int = 0,
+) -> str:
+    """Closed-surface dataset in the inflating-font schema (4th case family,
+    BASELINE.md 'inflating elastic surface')."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, name)
+    for split, count in (("train", n_train), ("test", n_test)):
+        split_dir = os.path.join(base, split)
+        os.makedirs(split_dir, exist_ok=True)
+        for i in range(count):
+            fields = generate_inflating_trajectory(
+                int(rng.integers(max(n_nodes // 2, 32), n_nodes)), n_frames, rng
+            )
+            with h5py.File(os.path.join(split_dir, f"{i}.h5"), "w") as f:
+                for k, v in fields.items():
+                    f.create_dataset(k, data=v)
+    return base
+
+
 def generate_trajectory(
     n_nodes: int,
     n_frames: int,

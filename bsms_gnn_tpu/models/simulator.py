@@ -57,11 +57,21 @@ class SimulatorState:
 
 def init_simulator(key, cfg: ModelConfig) -> SimulatorState:
     ke, kp, kd = jax.random.split(key, 3)
+    fiber_dims = None
+    if cfg.world_edges:
+        wd = cfg.world_dim or cfg.pos_dim
+        if cfg.out_dim < wd:
+            raise ValueError(
+                "world_edges requires the first world_dim output channels to "
+                f"be world_pos (out_dim={cfg.out_dim} < world_dim={wd})"
+            )
+        fiber_dims = (wd, cfg.pos_dim)
     params = SimulatorParams(
         encode=init_mlp(
             ke, cfg.out_dim + 1, cfg.latent_dim, cfg.latent_dim, cfg.hidden_layer, True
         ),
-        process=init_bsgmp(kp, cfg.unet_depth, cfg.latent_dim, cfg.hidden_layer, cfg.pos_dim),
+        process=init_bsgmp(kp, cfg.unet_depth, cfg.latent_dim, cfg.hidden_layer,
+                           cfg.pos_dim, fiber_dims=fiber_dims),
         decode=init_mlp(
             kd, cfg.latent_dim, cfg.latent_dim, cfg.out_dim, cfg.hidden_layer, False
         ),
@@ -103,6 +113,15 @@ def simulator_forward(
     """Predict the next-step state. node_in: [..., N_pad, C+pos_dim+1];
     node_mask: [..., N_pad, 1] (1 = loss-valid node)."""
     latent_input, pos, _ = split_node_input(node_in, cfg.pos_dim)
+    fiber_dims = None
+    if cfg.world_edges:
+        # World stream first, static mesh stream second; both are smoothed
+        # and pooled through the hierarchy like the reference smooths
+        # mesh_pos (`BSMS.py:74-75`).
+        wd = cfg.world_dim or cfg.pos_dim
+        world = node_in[..., :wd]
+        pos = jnp.concatenate([world, pos], axis=-1)
+        fiber_dims = (wd, cfg.pos_dim)
 
     norm_node_in = normalize(norm_in, latent_input)
     x = mlp_apply(params.encode, norm_node_in, compute_dtype)
@@ -114,6 +133,7 @@ def simulator_forward(
         method=cfg.aggregation,
         compute_dtype=compute_dtype,
         remat=cfg.remat,
+        fiber_dims=fiber_dims,
     )
     norm_pred_delta = mlp_apply(params.decode, x, compute_dtype)
 

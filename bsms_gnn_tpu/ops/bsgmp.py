@@ -38,18 +38,20 @@ class BSGMPParams:
 
 
 def init_bsgmp(
-    key, unet_depth: int, latent_dim: int, hidden_layer: int, pos_dim: int
+    key, unet_depth: int, latent_dim: int, hidden_layer: int, pos_dim: int,
+    fiber_dims=None,
 ) -> BSGMPParams:
     keys = jax.random.split(key, 2 * unet_depth + 1)
     return BSGMPParams(
         down_gmps=tuple(
-            init_gmp(keys[i], latent_dim, hidden_layer, pos_dim) for i in range(unet_depth)
-        ),
-        up_gmps=tuple(
-            init_gmp(keys[unet_depth + i], latent_dim, hidden_layer, pos_dim)
+            init_gmp(keys[i], latent_dim, hidden_layer, pos_dim, fiber_dims)
             for i in range(unet_depth)
         ),
-        bottom_gmp=init_gmp(keys[-1], latent_dim, hidden_layer, pos_dim),
+        up_gmps=tuple(
+            init_gmp(keys[unet_depth + i], latent_dim, hidden_layer, pos_dim, fiber_dims)
+            for i in range(unet_depth)
+        ),
+        bottom_gmp=init_gmp(keys[-1], latent_dim, hidden_layer, pos_dim, fiber_dims),
     )
 
 
@@ -62,8 +64,12 @@ def bsgmp_apply(
     compute_dtype=None,
     remat: bool = False,
     tap=None,
+    fiber_dims=None,
 ):
-    """h: [..., N_pad0, C]; pos: [N_pad0, pos_dim] (or batched like h).
+    """h: [..., N_pad0, C]; pos: [N_pad0, D] (or batched like h) where D is
+    pos_dim or sum(fiber_dims) for stacked positional streams (pass
+    `fiber_dims` in that case; the world stream rides through the same
+    weighted-conv smoothing and pooling as mesh_pos).
 
     `tap(name, value)`, if given, observes per-level GMP outputs
     ("down{i}" / "bottom" / "up{i}", each the raw GMP output before
@@ -72,9 +78,11 @@ def bsgmp_apply(
     depth = hierarchy.depth
     assert len(params.down_gmps) == depth
 
-    gmp = gmp_apply
+    def gmp(p, level, h_, pos_, method_, dtype_):
+        return gmp_apply(p, level, h_, pos_, method_, dtype_, fiber_dims)
+
     if remat:
-        gmp = jax.checkpoint(gmp_apply, static_argnums=(4, 5))
+        gmp = jax.checkpoint(gmp, static_argnums=(4, 5))
 
     down_outs = []
     down_ps = []

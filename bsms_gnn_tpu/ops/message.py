@@ -33,9 +33,19 @@ class GMPParams:
     mlp_node: MLPParams
 
 
-def init_gmp(key, latent_dim: int, hidden_layer: int, pos_dim: int) -> GMPParams:
+def init_gmp(
+    key, latent_dim: int, hidden_layer: int, pos_dim: int,
+    fiber_dims=None,
+) -> GMPParams:
+    """`fiber_dims` lists the positional streams feeding the edge MLP: each
+    stream of width d contributes [Δp, ‖Δp‖] (d+1 channels). The default
+    (pos_dim,) is the reference layout (static mesh_pos, ref
+    `ops/basic.py:44-45`); (world_dim, pos_dim) adds the world-space
+    relative positions the original BSMS contact cases used (reference
+    README.md:10)."""
+    fiber_dims = (pos_dim,) if fiber_dims is None else tuple(fiber_dims)
     ke, kn = jax.random.split(key)
-    edge_in = 2 * latent_dim + pos_dim + 1
+    edge_in = 2 * latent_dim + sum(d + 1 for d in fiber_dims)
     return GMPParams(
         mlp_edge=init_mlp(ke, edge_in, latent_dim, latent_dim, hidden_layer, True),
         mlp_node=init_mlp(kn, 2 * latent_dim, latent_dim, latent_dim, hidden_layer, True),
@@ -49,11 +59,15 @@ def gmp_apply(
     pos,
     method: str = "ell",
     compute_dtype=None,
+    fiber_dims=None,
 ):
-    """One GMP step. x: [..., N_pad, C]; pos: [..., N_pad, pos_dim] or
-    [N_pad, pos_dim] broadcast against batched x (ref `ops/basic.py:87-88`).
+    """One GMP step. x: [..., N_pad, C]; pos: [..., N_pad, D] or [N_pad, D]
+    broadcast against batched x (ref `ops/basic.py:87-88`). D is the
+    positional width, or the sum of `fiber_dims` for stacked positional
+    streams (e.g. world ⧺ mesh); each stream contributes [Δp, ‖Δp‖] to the
+    edge features.
 
-    The math is the reference's edge MLP over [Δpos, ‖Δpos‖, x_i, x_j]
+    The math is the reference's edge MLP over [fibers, x_i, x_j]
     followed by receiver-sum and a node MLP over [x, aggr] — but both first
     layers are *split by input block* (concat(a,b) @ W ≡ a @ Wa + b @ Wb):
     the x_i/x_j transforms run per NODE before the gather (E/N ≈ 6× fewer
@@ -62,7 +76,9 @@ def gmp_apply(
     from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
 
     c = x.shape[-1]
-    pd1 = pos.shape[-1] + 1  # fiber width: Δpos ⧺ ‖Δpos‖
+    fiber_dims = (pos.shape[-1],) if fiber_dims is None else tuple(fiber_dims)
+    assert sum(fiber_dims) == pos.shape[-1], (fiber_dims, pos.shape)
+    pd1 = pos.shape[-1] + len(fiber_dims)  # fibers: Σ (Δp ⧺ ‖Δp‖)
     w1 = params.mlp_edge.weights[0]
     wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
 
@@ -73,8 +89,14 @@ def gmp_apply(
     p_i = gather_send(level, pos, method)
     p_j = gather_recv(level, pos, method)
     direction = p_i - p_j
-    norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
-    fiber = jnp.concatenate([direction, norm], axis=-1)
+    parts = []
+    off = 0
+    for d in fiber_dims:
+        blk = direction[..., off : off + d]
+        parts.append(blk)
+        parts.append(jnp.linalg.norm(blk, axis=-1, keepdims=True))
+        off += d
+    fiber = jnp.concatenate(parts, axis=-1)
     pre = dense(fiber, wf, params.mlp_edge.biases[0], compute_dtype) + z_i + z_j
 
     aggr = None
