@@ -1,71 +1,123 @@
 """Headline benchmark: single-step inference latency of the flagship BSMS
-simulator on an airfoil-scale mesh (~5k nodes, unet_depth=7, latent 128).
+simulator at the reference's two published comparison points
+(BASELINE.md, `figs/perform.png(b)`):
 
-Baseline: the reference reports ≈8 ms/inference-step at ~5k nodes (airfoil)
-read off `figs/perform.png` panel (b) — see BASELINE.md. vs_baseline is
-baseline_ms / our_ms (>1 = faster than the reference's published figure).
+  * ~5k-node airfoil (reference ≈8 ms/step) — measured on a mesh with the
+    real airfoil's topology statistics (graded Delaunay around a carved-out
+    body: same node count, strongly skewed edge-length distribution), not a
+    uniform carpet;
+  * ~16k-node inflating surface (reference ≈33 ms/step) — closed sphere
+    surface with world-space edge features.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Required keys {"metric", "value", "unit",
+"vs_baseline"} describe the 5k airfoil point (vs_baseline =
+baseline_ms / our_ms, >1 = faster); extra keys report edges/s, achieved
+dense-matmul TFLOP/s + MFU, and the 16k point.
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
+BASELINE_5K_MS = 8.0  # reference airfoil ~5k nodes, figs/perform.png(b)
+BASELINE_16K_MS = 33.0  # reference InflatingFont ~16k nodes, same figure
+PEAK_TFLOPS = 197.0  # TPU v5e bf16 spec (MFU denominator; f32 runs lower)
 
-BASELINE_MS = 8.0  # reference airfoil ~5k-node inference, figs/perform.png(b)
+
+def _dense_flops(cfg_model, h) -> int:
+    """Dense-layer flops of one forward pass (2·rows·in·out per matmul over
+    PADDED sizes — what the chip actually executes). Aggregation/gather are
+    data movement and excluded."""
+    c = cfg_model.latent_dim
+    hl = cfg_model.hidden_layer
+    o = cfg_model.out_dim
+    pd1 = cfg_model.pos_dim + 1
+    depth = h.depth
+
+    total = 0
+    n0 = h.levels[0].n_pad_nodes
+    # encode: (o+1)->C then hl x C->C ... final C (hl hidden + out layer)
+    total += 2 * n0 * ((o + 1) * c + hl * c * c)
+    # decode: C->C hidden + C->o out
+    total += 2 * n0 * (hl * c * c + c * o)
+
+    for l in range(depth + 1):
+        n, e = h.levels[l].n_pad_nodes, h.levels[l].n_pad_edges
+        gmps = 1 if l == depth else 2  # down+up, bottom once
+        per_gmp = (
+            2 * n * c * c * 2          # wi, wj node-side pre-transforms
+            + 2 * e * pd1 * c          # fiber block
+            + 2 * e * c * c * hl       # edge MLP tail
+            + 2 * n * (2 * c) * c      # node MLP first (split)
+            + 2 * n * c * c * hl       # node MLP tail
+        )
+        total += gmps * per_gmp
+    return total
 
 
-def build_problem(n_nodes: int = 5000, depth: int = 7, seed: int = 0):
-    import jax
+def _sum_edges(cfg_model, h) -> int:
+    """Real edges touched by GMP blocks in one forward (levels 0..D-1
+    twice, bottom once)."""
+    depth = h.depth
+    tot = 0
+    for l in range(depth + 1):
+        tot += h.levels[l].n_edges * (1 if l == depth else 2)
+    return tot
+
+
+def _build(kind: str, n_nodes: int, depth: int):
     import jax.numpy as jnp
 
     from bsms_gnn_tpu.config import load_config
-    from bsms_gnn_tpu.data.synthetic import make_delaunay_mesh
+    from bsms_gnn_tpu.data.synthetic import (
+        make_graded_airfoil_mesh,
+        make_sphere_mesh,
+    )
     from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
     from bsms_gnn_tpu.graph.mesh import to_flat_edge
 
-    cfg = load_config([
-        f"model.unet_depth={depth}",
-        f"datasets.unet_depth={depth}",
-        "model.aggregation=pallas",  # sorted-CSR Pallas kernel on the hot path
-    ])
-    pos, cells, node_type = make_delaunay_mesh(n_nodes, np.random.default_rng(seed))
+    rng = np.random.default_rng(0)
+    if kind == "airfoil":
+        cfg = load_config([
+            f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+            "model.aggregation=pallas",
+        ])
+        pos, cells, node_type = make_graded_airfoil_mesh(n_nodes, rng)
+    else:  # inflating surface, world-space edges
+        cfg = load_config([
+            "datasets=inflating_font", "model=inflating_font",
+            f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+            "model.aggregation=pallas",
+        ])
+        pos, cells, node_type = make_sphere_mesh(n_nodes, rng)
     edges = to_flat_edge(cells, "tri")
     h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))
 
     n, n_pad = pos.shape[0], h.levels[0].n_pad_nodes
     c = cfg.model.out_dim
-    rng = np.random.default_rng(seed + 1)
-    node_in = np.zeros((n_pad, c + 3), np.float32)
-    node_in[:n, :c] = rng.standard_normal((n, c))
-    node_in[:n, c : c + 2] = pos
+    pd = cfg.model.pos_dim
+    node_in = np.zeros((n_pad, c + pd + 1), np.float32)
+    if kind == "airfoil":
+        node_in[:n, :c] = rng.standard_normal((n, c))
+        node_in[:n, c : c + pd] = pos
+    else:
+        node_in[:n, :c] = pos * 1.05  # world_pos
+        node_in[:n, c : c + pd] = pos
     node_in[:n, -1:] = node_type
     mask = np.zeros((n_pad, 1), np.float32)
     mask[:n] = (node_type[:, 0] == 0)[:, None]
     return cfg, h, jnp.asarray(node_in), jnp.asarray(mask), n
 
 
-def main() -> None:
+def _time_forward(cfg, h, node_in, mask, n_real) -> float:
     import jax
 
-    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+    from bsms_gnn_tpu.utils.timing import pipelined_timeit
 
-    cfg, h, node_in, mask, n_real = build_problem()
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
-
-    # Hierarchy/params closed over (constants): at this scale (~20 MB of
-    # tables) the compile service accepts them, and avoiding ~100 argument
-    # buffers per dispatch matters through the tunnel. (Million-node runs
-    # must pass the hierarchy as an argument instead — see
-    # benchmarks/scale_1m.py.)
     fwd = jax.jit(
         lambda ni, m: simulator_forward(
             state.params, state.norm_in, state.norm_out, h, ni, m, cfg.model
@@ -73,22 +125,37 @@ def main() -> None:
     )
     out = fwd(node_in, mask)  # compile + warm
     assert np.all(np.isfinite(np.asarray(out[:n_real])))
+    return pipelined_timeit(lambda: fwd(node_in, mask), steps=50, warmup=3)
 
-    # Pipelined timing (issue a window of steps, materialize the last
-    # result): sustained device throughput, independent of the tunnel's
-    # per-call dispatch latency. NB jax.block_until_ready is not a reliable
-    # fence on this backend; value materialization is (utils/timing.py).
-    from bsms_gnn_tpu.utils.timing import pipelined_timeit
 
-    ms = 1e3 * pipelined_timeit(lambda: fwd(node_in, mask), steps=50, warmup=3)
+def main() -> None:
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
+
+    cfg5, h5, ni5, m5, n5 = _build("airfoil", 5233, 7)
+    t5 = _time_forward(cfg5, h5, ni5, m5, n5)
+    ms5 = 1e3 * t5
+
+    cfg16, h16, ni16, m16, n16 = _build("surface", 16000, 7)
+    t16 = _time_forward(cfg16, h16, ni16, m16, n16)
+    ms16 = 1e3 * t16
+
+    flops5 = _dense_flops(cfg5.model, h5)
+    tflops = flops5 / t5 / 1e12
     print(
         json.dumps(
             {
                 "metric": "airfoil_5k_infer_ms",
-                "value": round(ms, 4),
+                "value": round(ms5, 4),
                 "unit": "ms/step",
-                "vs_baseline": round(BASELINE_MS / ms, 4),
+                "vs_baseline": round(BASELINE_5K_MS / ms5, 4),
+                "edges_per_s": round(_sum_edges(cfg5.model, h5) / t5),
+                "dense_tflops": round(tflops, 2),
+                "mfu_vs_bf16_peak": round(tflops / PEAK_TFLOPS, 4),
+                "infer_16k_ms": round(ms16, 4),
+                "vs_baseline_16k": round(BASELINE_16K_MS / ms16, 4),
+                "n_nodes": {"airfoil": n5, "surface": n16},
             }
         )
     )

@@ -42,6 +42,10 @@ class DatasetConfig:
     node_bucket: int = 0
     edge_bucket: int = 0
     pad_multiple: int = 128
+    # Variable-mesh datasets: number of size groups for padded-shape
+    # bucketing (1 = one dataset-wide max bucket; >1 stops small meshes
+    # paying for the largest — one compiled program per group).
+    size_buckets: int = 1
 
 
 @dataclass

@@ -61,12 +61,48 @@ def dataset_files(cfg: DatasetConfig, mode: str) -> List[str]:
     return files
 
 
-def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], List[int]]:
-    """Dataset-wide per-level padded shapes for variable-mesh datasets.
+@dataclass
+class BucketPlan:
+    """Per-level padded shapes, grouped into K size buckets. Each trajectory
+    belongs to one group; all meshes in a group pad to the group's shapes,
+    so small meshes stop paying for the dataset's largest (SURVEY.md §7.1
+    "per-bucket (N_max, E_max) padding"). One XLA program compiles per
+    group."""
 
-    Scans every trajectory's raw levels (cache-through), takes per-level
-    maxima over train+test, rounds up. Cached as JSON next to the data.
-    """
+    groups: List[dict]  # each: {"node_buckets": [...], "edge_buckets": [...]}
+    file_group: dict  # "split/basename" -> group index
+
+    def for_file(self, path: str) -> Tuple[List[int], List[int]]:
+        g = self.groups[self.file_group[_plan_key(path)]]
+        return g["node_buckets"], g["edge_buckets"]
+
+
+def _plan_key(path: str) -> str:
+    """Split-qualified key — train/0.h5 and test/0.h5 are different files."""
+    return os.path.join(os.path.basename(os.path.dirname(path)),
+                        os.path.basename(path))
+
+
+def _load_levels_for(cfg: DatasetConfig, path: str):
+    with h5py.File(path, "r") as f:
+        cells = np.asarray(f["cells"][0])
+        pos = np.asarray(f["mesh_pos"][0], np.float64)
+    edges = to_flat_edge(cells, cfg.mesh_type)
+    name = os.path.splitext(os.path.basename(path))[0]
+    return load_or_build_levels(
+        os.path.dirname(path), name, edges, cfg.unet_depth, pos.shape[0], pos
+    )
+
+
+def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
+    """Streaming two-pass bucket planner for variable-mesh datasets.
+
+    Pass 1 holds only per-file level sizes (a few ints each — a
+    1000-trajectory cylinder_flow fits trivially); files are then split into
+    `cfg.size_buckets` groups by level-0 node count, and pass 2 streams each
+    group's (cached) levels once more to size the block-aligned edge
+    layouts. Raw levels are never all resident. Cached as JSON next to the
+    data."""
     all_files = []
     for m in ("train", "test"):
         try:
@@ -75,52 +111,57 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> Tuple[List[int], Li
             pass
     if not all_files:
         all_files = dataset_files(cfg, mode)
+    k = max(1, int(getattr(cfg, "size_buckets", 1)))
     plan_path = os.path.join(
-        cfg.root, cfg.name, f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}.json"
+        cfg.root, cfg.name,
+        f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}_k{k}.json",
     )
     if os.path.isfile(plan_path):
         with open(plan_path) as f:
             plan = json.load(f)
         if plan.get("n_files") == len(all_files):
-            return plan["node_buckets"], plan["edge_buckets"]
+            return BucketPlan(plan["groups"], plan["file_group"])
 
     from bsms_gnn_tpu.graph.hierarchy import NODE_BLOCK, layout_edge_count
 
-    n_max = np.zeros(cfg.unet_depth + 1, np.int64)
-    per_file_levels = []
+    # Pass 1: per-file per-level node counts only.
+    sizes = {}
     for path in all_files:
-        with h5py.File(path, "r") as f:
-            cells = np.asarray(f["cells"][0])
-            pos = np.asarray(f["mesh_pos"][0], np.float64)
-        edges = to_flat_edge(cells, cfg.mesh_type)
-        name = os.path.splitext(os.path.basename(path))[0]
-        levels = load_or_build_levels(
-            os.path.dirname(path), name, edges, cfg.unet_depth, pos.shape[0], pos
-        )
-        per_file_levels.append(levels)
-        for l, g in enumerate(levels.graphs):
-            n_max[l] = max(n_max[l], g.num_nodes)
+        levels = _load_levels_for(cfg, path)
+        sizes[path] = [g.num_nodes for g in levels.graphs]
+        del levels
+
+    order = sorted(all_files, key=lambda p: sizes[p][0])
+    group_lists = [list(g) for g in np.array_split(np.asarray(order), k) if len(g)]
 
     m = max(cfg.pad_multiple, NODE_BLOCK)
-    node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
-    # Edge buckets must cover every mesh's block-aligned layout exactly.
-    edge_buckets = [0] * (cfg.unet_depth + 1)
-    for levels in per_file_levels:
-        for l, g in enumerate(levels.graphs):
-            counts = np.bincount(g.flat_edges[1], minlength=node_buckets[l])
-            edge_buckets[l] = max(
-                edge_buckets[l], layout_edge_count(counts, node_buckets[l])
-            )
+    groups = []
+    file_group = {}
+    for gi, files in enumerate(group_lists):
+        n_max = np.zeros(cfg.unet_depth + 1, np.int64)
+        for path in files:
+            n_max = np.maximum(n_max, sizes[path])
+            file_group[_plan_key(path)] = gi
+        node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
+        # Pass 2 (this group only): edge buckets must cover every member's
+        # block-aligned layout exactly.
+        edge_buckets = [0] * (cfg.unet_depth + 1)
+        for path in files:
+            levels = _load_levels_for(cfg, path)  # cache hit after pass 1
+            for l, g in enumerate(levels.graphs):
+                counts = np.bincount(g.flat_edges[1], minlength=node_buckets[l])
+                edge_buckets[l] = max(
+                    edge_buckets[l], layout_edge_count(counts, node_buckets[l])
+                )
+            del levels
+        groups.append({"node_buckets": node_buckets, "edge_buckets": edge_buckets})
+
     with open(plan_path, "w") as f:
         json.dump(
-            {
-                "n_files": len(all_files),
-                "node_buckets": node_buckets,
-                "edge_buckets": edge_buckets,
-            },
+            {"n_files": len(all_files), "groups": groups, "file_group": file_group},
             f,
         )
-    return node_buckets, edge_buckets
+    return BucketPlan(groups, file_group)
 
 
 class TrajectorySampler:
@@ -144,11 +185,7 @@ class TrajectorySampler:
         self.batch_size = batch_size
         self.mode = mode
         self.files = dataset_files(cfg, mode)
-        if cfg.consist_mesh:
-            self.node_buckets = None
-            self.edge_buckets = None
-        else:
-            self.node_buckets, self.edge_buckets = plan_buckets(cfg, mode)
+        self.plan = None if cfg.consist_mesh else plan_buckets(cfg, mode)
         self._readers: dict = {}
         self._readers_lock = threading.Lock()
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -166,9 +203,8 @@ class TrajectorySampler:
         with self._readers_lock:
             r = self._readers.get(path)
         if r is None:
-            r = TrajectoryReader(
-                self.cfg, path, self.node_buckets, self.edge_buckets
-            )
+            nb, eb = (None, None) if self.plan is None else self.plan.for_file(path)
+            r = TrajectoryReader(self.cfg, path, nb, eb)
             with self._readers_lock:
                 self._readers[path] = r
         return r
@@ -263,11 +299,9 @@ def rollout_iterator(
     """Yield whole test trajectories for closed-loop rollout (ref
     `base.py:352-357` + `rollout.py:64`): (reader, inputs [T-1, N_pad, C_in],
     targets [T-1, N_pad, C], masks [T-1, N_pad, 1])."""
-    if cfg.consist_mesh:
-        node_buckets = edge_buckets = None
-    else:
-        node_buckets, edge_buckets = plan_buckets(cfg, "rollout")
+    plan = None if cfg.consist_mesh else plan_buckets(cfg, "rollout")
     for path in dataset_files(cfg, "rollout"):
-        reader = TrajectoryReader(cfg, path, node_buckets, edge_buckets)
+        nb, eb = (None, None) if plan is None else plan.for_file(path)
+        reader = TrajectoryReader(cfg, path, nb, eb)
         inp, tar, mask = reader.full()
         yield reader, inp, tar, mask

@@ -114,7 +114,9 @@ def test_sampler_consistent(synth_consistent):
 
 def test_sampler_stacked_and_buckets(synth_variable):
     cfg = synth_variable
-    nb, eb = plan_buckets(cfg.datasets, "train")
+    plan = plan_buckets(cfg.datasets, "train")
+    assert len(plan.groups) == 1  # default size_buckets=1
+    nb = plan.groups[0]["node_buckets"]
     assert len(nb) == cfg.datasets.unet_depth + 1
     s = TrajectorySampler(cfg.datasets, batch_size=2, num_workers=1, mode="train")
     try:
@@ -125,6 +127,72 @@ def test_sampler_stacked_and_buckets(synth_variable):
         assert b.node_in.shape[1] == nb[0]
     finally:
         s.close()
+
+
+def test_multi_bucket_skewed_dataset(tmp_path):
+    """Skewed variable-mesh dataset (≈120- and ≈600-node meshes mixed):
+    with size_buckets=2 the small meshes pad to a SMALL bucket instead of
+    the dataset max (SURVEY.md §7.1), the planner streams (no all-levels
+    residency), and training runs on both compiled shapes."""
+    import os
+    import shutil
+
+    root = str(tmp_path)
+    small = generate_synthetic_dataset(
+        root + "/small", "synthetic_cylinder_flow", n_train=2, n_test=1,
+        n_nodes=120, n_frames=6, consistent_mesh=False, with_density=False,
+        seed=2,
+    )
+    big = generate_synthetic_dataset(
+        root + "/big", "synthetic_cylinder_flow", n_train=2, n_test=1,
+        n_nodes=600, n_frames=6, consistent_mesh=False, with_density=False,
+        seed=3,
+    )
+    base = os.path.join(root, "synthetic_cylinder_flow")
+    for split in ("train", "test"):
+        os.makedirs(os.path.join(base, split), exist_ok=True)
+        idx = 0
+        for src in (small, big):
+            for f in sorted(os.listdir(os.path.join(src, split))):
+                shutil.copy(
+                    os.path.join(src, split, f),
+                    os.path.join(base, split, f"{idx}.h5"),
+                )
+                idx += 1
+
+    cfg = load_config([
+        "datasets=cylinder_flow", "model.unet_depth=2", "model.latent_dim=16",
+        "model.hidden_layer=1", "model.accumulation_steps=1",
+        "datasets.unet_depth=2", "datasets.pad_multiple=32",
+        "datasets.size_buckets=2",
+        "opt.warmup_steps=2", "opt.decay_steps=20", "batch=2",
+    ])
+    cfg.datasets.name = "synthetic_cylinder_flow"
+    cfg.datasets.root = root
+
+    plan = plan_buckets(cfg.datasets, "train")
+    assert len(plan.groups) == 2
+    nb_small = plan.groups[0]["node_buckets"][0]
+    nb_big = plan.groups[1]["node_buckets"][0]
+    assert nb_small < nb_big, (nb_small, nb_big)
+    assert nb_small <= 192  # small meshes must NOT pad to the 600-node bucket
+
+    tr = Trainer(cfg)
+    s = TrajectorySampler(cfg.datasets, batch_size=2, num_workers=1, mode="train")
+    key = jax.random.PRNGKey(0)
+    seen_shapes = set()
+    try:
+        for i in range(6):
+            b = next(s)
+            seen_shapes.add(b.node_in.shape[1])
+            loss = float(tr.iter(
+                b.hierarchy, jnp.asarray(b.node_in), jnp.asarray(b.node_tar),
+                jnp.asarray(b.node_mask), jax.random.fold_in(key, i),
+            ))
+            assert np.isfinite(loss)
+    finally:
+        s.close()
+    assert len(seen_shapes) >= 2, f"only one bucket shape sampled: {seen_shapes}"
 
 
 def test_end_to_end_consistent(synth_consistent):
