@@ -109,3 +109,63 @@ def build_bistride_levels(
 def flat_edge_lists(levels: BistrideLevels) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """(per-level [2,E] edge arrays, per-level kept-index arrays)."""
     return [g.flat_edges for g in levels.graphs], list(levels.ids)
+
+
+def transition_edge_weights(levels: BistrideLevels) -> List[np.ndarray]:
+    """Per-level transition edge weights `ec`, precomputed offline.
+
+    The reference recomputes `cal_ew` under no_grad every forward
+    (`src/ops/basic.py:142-167`, driven by `src/ops/BSMS.py:64-77` with
+    w₀ = 1), but the recurrence is a pure function of the hierarchy:
+        normed_w = w / out_degree;  aggr_w[j] = Σ_{i→j} normed_w[i] + 1e-12
+        ec[i→j] = normed_w[i] / aggr_w[j];  w_next = aggr_w[kept]
+    so it moves into the offline build — three fewer data movers per level
+    per step on the TPU hot path. Computed in f64 with f32 degrees to match
+    the reference dtype mix (torch `degree(..., dtype=float)`).
+
+    Returns, for levels 0..depth, `ec` arrays aligned with each level's
+    `flat_edges` columns (level `depth`'s weights are computed for
+    completeness; the U-Net only uses levels 0..depth-1).
+    """
+    w = np.ones(levels.graphs[0].num_nodes, np.float64)
+    out = []
+    for l, g in enumerate(levels.graphs):
+        snd, rcv = g.flat_edges[0], g.flat_edges[1]
+        deg = np.bincount(snd, minlength=g.num_nodes).astype(np.float32)
+        deg = np.maximum(deg, 1.0)
+        normed_w = w / deg
+        aggr_w = np.bincount(rcv, weights=normed_w[snd],
+                             minlength=g.num_nodes) + 1e-12
+        out.append((normed_w[snd] / aggr_w[rcv]).astype(np.float64))
+        if l < len(levels.ids):
+            w = aggr_w[levels.ids[l]]
+    return out
+
+
+def smoothed_positions(levels: BistrideLevels, pos: np.ndarray) -> List[np.ndarray]:
+    """Per-level node positions as each GMP sees them, precomputed offline.
+
+    The reference smooths `pos` through the weighted transition conv and
+    pools it per level (`src/ops/BSMS.py:74-89`) — but since the weights are
+    the pure-graph `transition_edge_weights`, the whole mesh-position chain
+    is static too. Level l's array is the position BEFORE that level's conv
+    (the reference's `down_ps[l]`, reused by the up GMP); the bottom level
+    gets the fully smoothed+pooled chain. Dynamic (world-space) positional
+    streams cannot be precomputed and stay online.
+    """
+    ecs = transition_edge_weights(levels)
+    p = np.asarray(pos, np.float64)
+    out = []
+    for l, g in enumerate(levels.graphs):
+        out.append(p)
+        if l == len(levels.ids):
+            break
+        snd, rcv = g.flat_edges[0], g.flat_edges[1]
+        ec = ecs[l]
+        smoothed = np.stack(
+            [np.bincount(rcv, weights=ec * p[snd, d], minlength=g.num_nodes)
+             for d in range(p.shape[1])],
+            axis=-1,
+        )
+        p = smoothed[levels.ids[l]]
+    return out

@@ -34,10 +34,15 @@ from typing import List, Optional, Tuple
 import numpy as np
 from flax import struct
 
-from bsms_gnn_tpu.graph.bistride import BistrideLevels, build_bistride_levels
+from bsms_gnn_tpu.graph.bistride import (
+    BistrideLevels,
+    build_bistride_levels,
+    smoothed_positions,
+    transition_edge_weights,
+)
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 7
+CACHE_VERSION = 8
 
 # Edge chunk granularity: every 128-node block's edge segment is padded to a
 # multiple of EDGE_BLOCK slots, so the Pallas segment-sum can stream
@@ -72,6 +77,17 @@ class LevelGraph:
     # from symmetric adjacency patterns). Lets sender-aggregation reuse the
     # receiver-sorted kernel: Σ_{send(e)=n} f[e] = Σ_{recv(e)=n} f[rev[e]].
     reverse_perm: np.ndarray  # [E_pad] int32 (pad slots map to themselves)
+    # Precomputed transition-conv edge weights (offline cal_ew — a pure
+    # graph function; see graph/bistride.py::transition_edge_weights).
+    # float64 so the f64 parity path stays exact (runtime device_put
+    # canonicalizes to f32 when x64 is off); pad slots carry 0.
+    ew: np.ndarray  # [E_pad] f64
+    # Precomputed static edge fiber [Δpos, ‖Δpos‖] from the offline
+    # smoothed-position chain (graph/bistride.py::smoothed_positions) — the
+    # whole mesh-pos stream (gathers, conv, pooling) is a pure graph
+    # function, so no online op touches it. Pad slots carry 0. Dynamic
+    # (world-space) fibers stay online.
+    fiber: np.ndarray  # [E_pad, pos_dim+1] f64
     n_nodes: int = struct.field(pytree_node=False)  # real N
     n_edges: int = struct.field(pytree_node=False)  # real E
 
@@ -132,7 +148,8 @@ def layout_edge_count(edge_counts_per_node: np.ndarray, n_pad: int) -> int:
 
 
 def _pad_level(
-    g: CsrGraph, n_pad: int, e_pad_min: int
+    g: CsrGraph, n_pad: int, e_pad_min: int, ec: Optional[np.ndarray] = None,
+    lvl_pos: Optional[np.ndarray] = None,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -142,6 +159,14 @@ def _pad_level(
     order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
     r_sorted = g.flat_edges[1][order]
     s_sorted = g.flat_edges[0][order]
+    ec_sorted = None if ec is None else np.asarray(ec, np.float64)[order]
+    fib_sorted = None
+    if lvl_pos is not None:
+        p = np.asarray(lvl_pos, np.float64)
+        d = p[s_sorted] - p[r_sorted]
+        fib_sorted = np.concatenate(
+            [d, np.linalg.norm(d, axis=-1, keepdims=True)], axis=-1
+        )
 
     # Block-aligned layout: per 128-node block, its edges then pad slots up
     # to a multiple of EDGE_BLOCK (at least one chunk per block so every
@@ -197,6 +222,13 @@ def _pad_level(
     node_mask = np.zeros((n_pad, 1), dtype=np.float32)
     node_mask[:n] = 1.0
 
+    ew = np.zeros(e_pad, np.float64)
+    if ec is not None:
+        ew[slots] = ec_sorted
+    pd1 = 1 if lvl_pos is None else lvl_pos.shape[1] + 1
+    fiber = np.zeros((e_pad, pd1), np.float64)
+    if fib_sorted is not None:
+        fiber[slots] = fib_sorted
     return LevelGraph(
         senders=senders,
         receivers=receivers,
@@ -207,6 +239,8 @@ def _pad_level(
         node_mask=node_mask,
         edge_mask=edge_mask,
         reverse_perm=reverse_perm,
+        ew=ew,
+        fiber=fiber,
         n_nodes=n,
         n_edges=e,
     )
@@ -229,7 +263,7 @@ def build_hierarchy(
     node).
     """
     levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
-    return pad_levels(levels, pad_multiple, node_buckets, edge_buckets)
+    return pad_levels(levels, pad_multiple, node_buckets, edge_buckets, pos=pos)
 
 
 def pad_levels(
@@ -237,8 +271,10 @@ def pad_levels(
     pad_multiple: int = 128,
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
+    pos: Optional[np.ndarray] = None,
 ) -> Hierarchy:
     graphs, ids = levels.graphs, levels.ids
+    lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
     n_pads = []
     e_pads = []
@@ -258,8 +294,13 @@ def pad_levels(
         n_pads.append(n_pad)
         e_pads.append(e_pad)
 
+    ecs = transition_edge_weights(levels)
     lvl_graphs = tuple(
-        _pad_level(g, n_pads[l], e_pads[l]) for l, g in enumerate(graphs)
+        _pad_level(
+            g, n_pads[l], e_pads[l], ecs[l],
+            None if lvl_pos is None else lvl_pos[l],
+        )
+        for l, g in enumerate(graphs)
     )
     if edge_buckets is not None:
         # Stacking across meshes requires every mesh to land on the exact
@@ -321,6 +362,8 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
         arrays[f"l{l}_node_mask"] = g.node_mask
         arrays[f"l{l}_edge_mask"] = g.edge_mask
         arrays[f"l{l}_reverse_perm"] = g.reverse_perm
+        arrays[f"l{l}_ew"] = g.ew
+        arrays[f"l{l}_fiber"] = g.fiber
         arrays[f"l{l}_meta"] = np.array([g.n_nodes, g.n_edges], dtype=np.int64)
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
@@ -345,6 +388,8 @@ def load_hierarchy(path: str) -> Hierarchy:
                     node_mask=z[f"l{l}_node_mask"],
                     edge_mask=z[f"l{l}_edge_mask"],
                     reverse_perm=z[f"l{l}_reverse_perm"],
+                    ew=z[f"l{l}_ew"],
+                    fiber=z[f"l{l}_fiber"],
                     n_nodes=int(meta[0]),
                     n_edges=int(meta[1]),
                 )
@@ -418,7 +463,7 @@ def load_or_build_hierarchy(
     levels = load_or_build_levels(
         cache_dir, cache_name, flat_edges, num_layers, num_nodes, pos
     )
-    h = pad_levels(levels, pad_multiple, node_buckets, edge_buckets)
+    h = pad_levels(levels, pad_multiple, node_buckets, edge_buckets, pos=pos)
     os.makedirs(cache_dir, exist_ok=True)
     save_hierarchy(path, h)
     return h

@@ -112,16 +112,15 @@ def simulator_forward(
 ):
     """Predict the next-step state. node_in: [..., N_pad, C+pos_dim+1];
     node_mask: [..., N_pad, 1] (1 = loss-valid node)."""
-    latent_input, pos, _ = split_node_input(node_in, cfg.pos_dim)
-    fiber_dims = None
+    latent_input, _, _ = split_node_input(node_in, cfg.pos_dim)
+    # Mesh positions live offline in the hierarchy's static fibers; only
+    # dynamic world-space positions (contact cases) enter the processor.
+    dyn = None
+    dyn_dims = None
     if cfg.world_edges:
-        # World stream first, static mesh stream second; both are smoothed
-        # and pooled through the hierarchy like the reference smooths
-        # mesh_pos (`BSMS.py:74-75`).
         wd = cfg.world_dim or cfg.pos_dim
-        world = node_in[..., :wd]
-        pos = jnp.concatenate([world, pos], axis=-1)
-        fiber_dims = (wd, cfg.pos_dim)
+        dyn = node_in[..., :wd]
+        dyn_dims = (wd,)
 
     norm_node_in = normalize(norm_in, latent_input)
     x = mlp_apply(params.encode, norm_node_in, compute_dtype)
@@ -129,11 +128,11 @@ def simulator_forward(
         params.process,
         hierarchy,
         x,
-        pos,
+        dyn,
         method=cfg.aggregation,
         compute_dtype=compute_dtype,
         remat=cfg.remat,
-        fiber_dims=fiber_dims,
+        dyn_dims=dyn_dims,
     )
     norm_pred_delta = mlp_apply(params.decode, x, compute_dtype)
 

@@ -21,7 +21,6 @@ from flax import struct
 from bsms_gnn_tpu.graph.hierarchy import Hierarchy
 from bsms_gnn_tpu.ops.message import (
     GMPParams,
-    cal_ew,
     edge_conv_down,
     edge_conv_up,
     gmp_apply,
@@ -59,17 +58,23 @@ def bsgmp_apply(
     params: BSGMPParams,
     hierarchy: Hierarchy,
     h,
-    pos,
+    pos=None,
     method: str = "ell",
     compute_dtype=None,
     remat: bool = False,
     tap=None,
-    fiber_dims=None,
+    dyn_dims=None,
 ):
-    """h: [..., N_pad0, C]; pos: [N_pad0, D] (or batched like h) where D is
-    pos_dim or sum(fiber_dims) for stacked positional streams (pass
-    `fiber_dims` in that case; the world stream rides through the same
-    weighted-conv smoothing and pooling as mesh_pos).
+    """h: [..., N_pad0, C].
+
+    Mesh positions do NOT appear online: the static per-level edge fibers
+    and transition weights are precomputed offline on the hierarchy
+    (graph/bistride.py — both are pure graph functions the reference
+    recomputes every step, `BSMS.py:64-77`). `pos` carries only DYNAMIC
+    positional streams (world-space positions for contact cases, widths in
+    `dyn_dims`); they ride the same weighted-conv smoothing and pooling the
+    reference applies to mesh_pos. With no dynamic stream, `pos` is
+    ignored.
 
     `tap(name, value)`, if given, observes per-level GMP outputs
     ("down{i}" / "bottom" / "up{i}", each the raw GMP output before
@@ -77,9 +82,10 @@ def bsgmp_apply(
     jit."""
     depth = hierarchy.depth
     assert len(params.down_gmps) == depth
+    dyn = pos if dyn_dims else None
 
     def gmp(p, level, h_, pos_, method_, dtype_):
-        return gmp_apply(p, level, h_, pos_, method_, dtype_, fiber_dims)
+        return gmp_apply(p, level, h_, pos_, method_, dtype_, dyn_dims)
 
     if remat:
         gmp = jax.checkpoint(gmp, static_argnums=(4, 5))
@@ -87,27 +93,30 @@ def bsgmp_apply(
     down_outs = []
     down_ps = []
     cts = []
-    w = jnp.ones((hierarchy.levels[0].n_pad_nodes, 1), h.dtype)
 
     for i in range(depth):
         level = hierarchy.levels[i]
         trans = hierarchy.transitions[i]
-        h = gmp(params.down_gmps[i], level, h, pos, method, compute_dtype)
+        h = gmp(params.down_gmps[i], level, h, dyn, method, compute_dtype)
         if tap is not None:
             tap(f"down{i}", h)
         down_outs.append(h)
-        down_ps.append(pos)
+        down_ps.append(dyn)
 
-        ew, w = cal_ew(level, w, method)
-        h = edge_conv_down(level, h, ew, method)
-        pos = edge_conv_down(level, pos, ew, method)
+        # Transition weights: pure graph function, precomputed offline —
+        # the reference's per-step no-grad cal_ew (`BSMS.py:73`) costs
+        # three data movers per level per step for values that never
+        # change.
+        ew = level.ew.astype(h.dtype)
         cts.append(ew)
 
+        h = edge_conv_down(level, h, ew, method)
         h = pool_nodes(trans, h)
-        pos = pool_nodes(trans, pos)
-        w = pool_nodes(trans, w)
+        if dyn is not None:
+            dyn = edge_conv_down(level, dyn, ew.astype(dyn.dtype), method)
+            dyn = pool_nodes(trans, dyn)
 
-    h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, pos, method, compute_dtype)
+    h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, dyn, method, compute_dtype)
     if tap is not None:
         tap("bottom", h)
 

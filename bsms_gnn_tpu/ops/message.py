@@ -59,44 +59,65 @@ def gmp_apply(
     pos,
     method: str = "ell",
     compute_dtype=None,
-    fiber_dims=None,
+    dyn_dims=None,
 ):
-    """One GMP step. x: [..., N_pad, C]; pos: [..., N_pad, D] or [N_pad, D]
-    broadcast against batched x (ref `ops/basic.py:87-88`). D is the
-    positional width, or the sum of `fiber_dims` for stacked positional
-    streams (e.g. world ⧺ mesh); each stream contributes [Δp, ‖Δp‖] to the
-    edge features.
+    """One GMP step. x: [..., N_pad, C].
+
+    Edge fibers come from two sources:
+      * the STATIC mesh fiber [Δpos, ‖Δpos‖] precomputed offline on the
+        level (`level.fiber`, graph/bistride.py::smoothed_positions) — no
+        online gather, conv, or norm touches mesh positions at all;
+      * optional DYNAMIC streams in `pos` (world-space positions for the
+        contact cases), gathered per step; `dyn_dims` lists their widths.
+        Dynamic fibers precede the static one, matching `init_gmp`'s
+        fiber_dims=(world_dim, pos_dim) row layout.
 
     The math is the reference's edge MLP over [fibers, x_i, x_j]
-    followed by receiver-sum and a node MLP over [x, aggr] — but both first
-    layers are *split by input block* (concat(a,b) @ W ≡ a @ Wa + b @ Wb):
-    the x_i/x_j transforms run per NODE before the gather (E/N ≈ 6× fewer
-    rows through the widest matmul) and the wide [E, 2C+pos+1] / [N, 2C]
-    concatenations never hit HBM."""
+    (`ref ops/basic.py:83-92`) followed by receiver-sum and a node MLP over
+    [x, aggr] — but both first layers are *split by input block*
+    (concat(a,b) @ W ≡ a @ Wa + b @ Wb): the x_i/x_j transforms run per
+    NODE before the gather (E/N ≈ 6× fewer rows through the widest matmul)
+    and the wide [E, 2C+pd1] / [N, 2C] concatenations never hit HBM."""
     from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
 
     c = x.shape[-1]
-    fiber_dims = (pos.shape[-1],) if fiber_dims is None else tuple(fiber_dims)
-    assert sum(fiber_dims) == pos.shape[-1], (fiber_dims, pos.shape)
-    pd1 = pos.shape[-1] + len(fiber_dims)  # fibers: Σ (Δp ⧺ ‖Δp‖)
+    static_fiber = level.fiber
+    sfw = static_fiber.shape[-1]
+    if dyn_dims is None and pos is not None and pos.shape[-1] + 1 != sfw:
+        raise ValueError(
+            f"static fiber width {sfw} does not match pos width "
+            f"{pos.shape[-1]}+1; rebuild the hierarchy cache"
+        )
+    dyn_dims = tuple(dyn_dims) if dyn_dims else ()
+    pd1 = sfw + sum(d + 1 for d in dyn_dims)
     w1 = params.mlp_edge.weights[0]
     wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
 
-    # Node-side pre-transforms, then gather the 128-wide activations.
+    # Node-side pre-transforms, then gather the 128-lane-aligned activations.
     z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
     z_j = gather_recv(level, dense(x, wj, 0.0, compute_dtype), method)
 
-    p_i = gather_send(level, pos, method)
-    p_j = gather_recv(level, pos, method)
-    direction = p_i - p_j
     parts = []
-    off = 0
-    for d in fiber_dims:
-        blk = direction[..., off : off + d]
-        parts.append(blk)
-        parts.append(jnp.linalg.norm(blk, axis=-1, keepdims=True))
-        off += d
-    fiber = jnp.concatenate(parts, axis=-1)
+    if dyn_dims:
+        assert pos is not None and pos.shape[-1] == sum(dyn_dims)
+        p_i = gather_send(level, pos, method)
+        p_j = gather_recv(level, pos, method)
+        direction = p_i - p_j
+        off = 0
+        for d in dyn_dims:
+            blk = direction[..., off : off + d]
+            parts.append(blk)
+            parts.append(jnp.linalg.norm(blk, axis=-1, keepdims=True))
+            off += d
+    parts.append(
+        jnp.broadcast_to(
+            static_fiber.astype(z_i.dtype),
+            z_i.shape[:-1] + (sfw,),
+        )
+        if parts
+        else static_fiber.astype(z_i.dtype)
+    )
+    fiber = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
     pre = dense(fiber, wf, params.mlp_edge.biases[0], compute_dtype) + z_i + z_j
 
     aggr = None

@@ -42,6 +42,8 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             node_mask=repl,
             edge_mask=edge,
             reverse_perm=edge,
+            ew=edge,
+            fiber=edge,
         )
         for l in h.levels
     )

@@ -25,7 +25,11 @@ from typing import List, Tuple
 import numpy as np
 from flax import struct
 
-from bsms_gnn_tpu.graph.bistride import BistrideLevels
+from bsms_gnn_tpu.graph.bistride import (
+    BistrideLevels,
+    smoothed_positions,
+    transition_edge_weights,
+)
 from bsms_gnn_tpu.graph.hierarchy import Transition
 
 
@@ -53,6 +57,8 @@ class HaloLevel:
 
     senders_ext: np.ndarray  # [S, E_loc] int32
     receivers: np.ndarray  # [S, E_loc] int32 (local)
+    ew: np.ndarray  # [S, E_loc] f64 offline transition weights (pad: 0)
+    fiber: np.ndarray  # [S, E_loc, pos_dim+1] f64 offline static edge fiber
     deg: np.ndarray  # [S, N_loc] f32 global out-degree (>=1)
     node_mask: np.ndarray  # [S, N_loc, 1] f32
     edge_mask: np.ndarray  # [S, E_loc] f32
@@ -95,6 +101,8 @@ def _partition_level(
     edges: np.ndarray,
     n: int,
     deg_global: np.ndarray,
+    ec: np.ndarray,
+    lvl_pos: np.ndarray,
     assignment: np.ndarray,
     n_shards: int,
     block: int,
@@ -141,6 +149,13 @@ def _partition_level(
 
     senders_ext = np.full((n_shards, e_loc), n_loc - 1, np.int32)
     receivers = np.full((n_shards, e_loc), n_loc - 1, np.int32)
+    ew = np.zeros((n_shards, e_loc), np.float64)
+    p64 = np.asarray(lvl_pos, np.float64)
+    d_all = p64[snd] - p64[rcv]
+    fib_all = np.concatenate(
+        [d_all, np.linalg.norm(d_all, axis=-1, keepdims=True)], axis=-1
+    )
+    fiber = np.zeros((n_shards, e_loc, fib_all.shape[-1]), np.float64)
     edge_mask = np.zeros((n_shards, e_loc), np.float32)
     for s in range(n_shards):
         es = np.flatnonzero(e_owner == s)
@@ -155,6 +170,8 @@ def _partition_level(
         for i in np.flatnonzero(~is_local):
             loc_snd[i] = ext_slot[(s, int(snd_s[i]))]
         senders_ext[s, :k] = loc_snd
+        ew[s, :k] = np.asarray(ec, np.float64)[es]
+        fiber[s, :k] = fib_all[es]
         edge_mask[s, :k] = 1.0
 
     deg = np.ones((n_shards, n_loc), np.float32)
@@ -167,6 +184,8 @@ def _partition_level(
     level = HaloLevel(
         senders_ext=senders_ext,
         receivers=receivers,
+        ew=ew,
+        fiber=fiber,
         deg=deg,
         node_mask=node_mask,
         edge_mask=edge_mask,
@@ -183,12 +202,15 @@ def build_partition(
     levels: BistrideLevels,
     n_shards: int,
     n_global_pad: int,
+    pos: np.ndarray,
     block: int = 128,
 ) -> PartitionPlan:
     """Partition raw bi-stride levels into an S-shard halo plan.
 
-    `n_global_pad` is the row count of the (padded) global feature arrays the
-    caller will feed `partition_nodes` (their pad rows must be zero)."""
+    `n_global_pad` is the row count of the (padded) global feature arrays
+    the caller will feed `partition_nodes` (their pad rows must be zero);
+    `pos` is the level-0 mesh position array used for the offline static
+    fibers."""
     graphs, ids = levels.graphs, levels.ids
     n0 = graphs[0].num_nodes
     # Contiguous index blocks at level 0 (mesh numbering is usually spatially
@@ -201,10 +223,13 @@ def build_partition(
     owned_per_level = []
     local_per_level = []
     assignments = []
+    ecs = transition_edge_weights(levels)
+    lvl_pos = smoothed_positions(levels, pos)
     for l, g in enumerate(graphs):
         deg_g = g.degrees().astype(np.float32)
         lvl, owned, local_of = _partition_level(
-            g.flat_edges, g.num_nodes, deg_g, assignment, n_shards, block
+            g.flat_edges, g.num_nodes, deg_g, ecs[l], lvl_pos[l],
+            assignment, n_shards, block,
         )
         halo_levels.append(lvl)
         owned_per_level.append(owned)

@@ -52,9 +52,9 @@ def _setup(n_shards=4):
     edges = to_flat_edge(cells, "tri")
     n = pos.shape[0]
     levels = build_bistride_levels(edges, cfg.model.unet_depth, n, pos)
-    h = pad_levels(levels, pad_multiple=32)
+    h = pad_levels(levels, pad_multiple=32, pos=pos)
     n_pad = h.levels[0].n_pad_nodes
-    plan = build_partition(levels, n_shards, n_pad, block=32)
+    plan = build_partition(levels, n_shards, n_pad, pos, block=32)
 
     rng = np.random.default_rng(3)
     node_in = np.zeros((n_pad, OUT + 3), np.float32)

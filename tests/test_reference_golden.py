@@ -131,7 +131,7 @@ def problem():
     n = pos.shape[0]
 
     levels = build_bistride_levels(edges, DEPTH, n, pos)
-    hierarchy = pad_levels(levels, pad_multiple=128)
+    hierarchy = pad_levels(levels, pad_multiple=128, pos=pos)
     n_pad = hierarchy.levels[0].n_pad_nodes
 
     node_type = (rng.random(n) < 0.2).astype(np.float64)  # ~20% Dirichlet

@@ -40,11 +40,10 @@ def test_gmp_two_fiber_matches_materialized_concat(rng):
     world = np.zeros((n_pad, 3), np.float32)
     world[:n] = rng.standard_normal((n, 3))
     mesh = np.zeros((n_pad, 2), np.float32)
-    mesh[:n] = pos
-    p = jnp.asarray(np.concatenate([world, mesh], axis=-1))
+    mesh[:n] = pos  # the static level fiber was built from this same pos
 
-    got = np.asarray(gmp_apply(params, level, jnp.asarray(x), p, "ell",
-                               fiber_dims=(3, 2)))
+    got = np.asarray(gmp_apply(params, level, jnp.asarray(x),
+                               jnp.asarray(world), "ell", dyn_dims=(3,)))
 
     snd = np.asarray(level.senders)
     rcv = np.asarray(level.receivers)
