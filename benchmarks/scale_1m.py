@@ -3,7 +3,12 @@ hierarchy precompute at scale + single-chip inference throughput, reported
 as edges/s across all levels. Training at this scale uses remat
 (`model.remat=true`) so only node-level residuals persist.
 
-Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train]
+Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train] [dtype]
+
+`dtype` (float32 default, bfloat16) sets `model.compute_dtype`. At this
+scale the forward is HBM-bandwidth-bound on [E,128] edge activations
+(see benchmarks/profile_1m.py for the component breakdown), so bfloat16
+halves the traffic of every gather/matmul/aggregate in the hot path.
 """
 
 from __future__ import annotations
@@ -17,7 +22,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_nodes=1_000_000, depth=7, mode="infer"):
+def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
+         aggregation="pallas"):
     import jax
     import jax.numpy as jnp
 
@@ -33,9 +39,11 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
 
     cfg = load_config([
         f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
-        "model.aggregation=pallas",
+        f"model.aggregation={aggregation}",
+        f"model.compute_dtype={dtype}",
         "model.remat=" + ("true" if mode == "train" else "false"),
     ])
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     cache_dir = "/tmp/bsms-scale"
     os.makedirs(cache_dir, exist_ok=True)
     t0 = time.time()
@@ -71,7 +79,7 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
         # remote compile service rejects oversized bodies).
         f = jax.jit(
             lambda prm, nin, nout, hh, ni, m: simulator_forward(
-                prm, nin, nout, hh, ni, m, cfg.model
+                prm, nin, nout, hh, ni, m, cfg.model, compute_dtype
             )
         )
         from bsms_gnn_tpu.utils.timing import device_sync, pipelined_timeit
@@ -83,8 +91,8 @@ def main(n_nodes=1_000_000, depth=7, mode="infer"):
               f"finite={bool(np.isfinite(np.asarray(out[:n])).all())}", flush=True)
         dt = pipelined_timeit(lambda: f(*args, node_in, mask), steps=10, warmup=2)
         print(
-            f"infer[{n_nodes}n,d{depth}]: {dt*1e3:.1f} ms/step, "
-            f"{total_edges/dt/1e9:.2f} Gedges/s",
+            f"infer[{n_nodes}n,d{depth},{dtype},{aggregation}]: "
+            f"{dt*1e3:.1f} ms/step, {total_edges/dt/1e9:.2f} Gedges/s",
             flush=True,
         )
     else:
@@ -116,4 +124,6 @@ if __name__ == "__main__":
         int(a[0]) if a else 1_000_000,
         int(a[1]) if len(a) > 1 else 7,
         a[2] if len(a) > 2 else "infer",
+        a[3] if len(a) > 3 else "float32",
+        a[4] if len(a) > 4 else "pallas",
     )

@@ -43,19 +43,30 @@ def _layer_norm_fwd(x):
     return (x - mean) * inv, inv
 
 
-def _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers):
+def _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype):
     """relu(pre) → hidden Linear+ReLU layers → final Linear → LN."""
     import jax.experimental.pallas as pl
 
     h = jnp.maximum(pre, 0.0)
     for l in range(n_layers - 1):
-        h = jnp.maximum(_dot(h, w_ref[l]) + b_ref[pl.ds(l, 1), :], 0.0)
-    out = _dot(h, w_ref[n_layers - 1]) + b_ref[pl.ds(n_layers - 1, 1), :]
+        h = jnp.maximum(
+            _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
+        )
+    out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
     normed, _ = _layer_norm_fwd(out)
     return normed
 
 
-def _dot(a, b):
+def _dot(a, b, op_dtype=jnp.float32):
+    """MXU dot with f32 accumulation. f32 operands use HIGHEST (6-pass —
+    real f32); bfloat16 operands take the single-pass fast path, which is
+    where the fused kernel beats XLA's unfused full-E matmuls."""
+    if op_dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -63,7 +74,7 @@ def _dot(a, b):
     )
 
 
-def _make_fwd_kernel(n_layers: int):
+def _make_fwd_kernel(n_layers: int, op_dtype):
     import jax.experimental.pallas as pl
 
     def kernel(chunk_block_ref, first_ref, pre_ref, w_ref, b_ref, recv_ref,
@@ -75,18 +86,22 @@ def _make_fwd_kernel(n_layers: int):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        e = _mlp_chunk_fwd(pre_ref[:], w_ref, b_ref, n_layers)
+        e = _mlp_chunk_fwd(
+            pre_ref[:].astype(jnp.float32), w_ref, b_ref, n_layers, op_dtype
+        )
 
         row = jax.lax.rem(c, 8)
         r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+        # One-hot selection is exact at any operand dtype; in bf16 mode the
+        # summands are the (already bf16-rounded) LN outputs, accumulated f32.
         onehot = (node_iota == r_local).astype(jnp.float32)
-        out_ref[:] += _dot(onehot, e)
+        out_ref[:] += _dot(onehot, e, op_dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(n_layers: int):
+def _make_bwd_kernel(n_layers: int, op_dtype):
     import jax.experimental.pallas as pl
 
     def kernel(chunk_block_ref, first_ref, pre_ref, w_ref, b_ref, recv_ref,
@@ -101,12 +116,14 @@ def _make_bwd_kernel(n_layers: int):
             db_acc[:] = jnp.zeros_like(db_acc)
 
         # Recompute forward, saving per-layer inputs.
-        h = jnp.maximum(pre_ref[:], 0.0)
+        h = jnp.maximum(pre_ref[:].astype(jnp.float32), 0.0)
         hs = [h]
         for l in range(n_layers - 1):
-            h = jnp.maximum(_dot(h, w_ref[l]) + b_ref[pl.ds(l, 1), :], 0.0)
+            h = jnp.maximum(
+                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
+            )
             hs.append(h)
-        out = _dot(h, w_ref[n_layers - 1]) + b_ref[pl.ds(n_layers - 1, 1), :]
+        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
         normed, inv = _layer_norm_fwd(out)
 
         # Edge cotangent: transposed one-hot gather of the node block.
@@ -114,12 +131,7 @@ def _make_bwd_kernel(n_layers: int):
         r_local = recv_ref[pl.ds(row, 1), :] - base_row
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
         onehot_t = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
-        g = jax.lax.dot_general(
-            onehot_t, g_node_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [BE, C]
+        g = _dot_t(onehot_t, g_node_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
 
         # Non-affine LayerNorm backward.
         g_mean = jnp.mean(g, axis=-1, keepdims=True)
@@ -127,18 +139,18 @@ def _make_bwd_kernel(n_layers: int):
         dout = (g - g_mean - normed * gn_mean) * inv
 
         # Final linear.
-        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout)
+        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
         db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
-        dh = _dot_nt(dout, w_ref[n_layers - 1])
+        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
 
         # Hidden layers in reverse.
         for l in range(n_layers - 2, -1, -1):
             dh = dh * (hs[l + 1] > 0.0)
-            dw_acc[l] += _dot_t(hs[l], dh)
+            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
             db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_nt(dh, w_ref[l])
+            dh = _dot_nt(dh, w_ref[l], op_dtype)
 
-        dpre_ref[:] = dh * (pre_ref[:] > 0.0)
+        dpre_ref[:] = (dh * (pre_ref[:] > 0.0)).astype(dpre_ref.dtype)
 
         @pl.when(c == nc - 1)
         def _():
@@ -148,8 +160,14 @@ def _make_bwd_kernel(n_layers: int):
     return kernel
 
 
-def _dot_t(a, b):
+def _dot_t(a, b, op_dtype=jnp.float32):
     """aᵀ @ b for [E, C] operands → [C, C]."""
+    if op_dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -157,8 +175,14 @@ def _dot_t(a, b):
     )
 
 
-def _dot_nt(a, b):
+def _dot_nt(a, b, op_dtype=jnp.float32):
     """a @ bᵀ."""
+    if op_dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -189,7 +213,8 @@ def _chunk_tables(level):
 
 
 @functools.lru_cache(maxsize=None)
-def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
+def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+             op_dtype_name: str):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -207,7 +232,7 @@ def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(n_layers),
+        _make_fwd_kernel(n_layers, jnp.dtype(op_dtype_name)),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -218,7 +243,8 @@ def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
+def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+             op_dtype_name: str, pre_dtype_name: str):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -243,9 +269,9 @@ def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool):
         ],
     )
     return pl.pallas_call(
-        _make_bwd_kernel(n_layers),
+        _make_bwd_kernel(n_layers, jnp.dtype(op_dtype_name)),
         out_shape=[
-            jax.ShapeDtypeStruct((e_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
             jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, c), jnp.float32),
         ],
@@ -287,12 +313,16 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     c = pre.shape[-1]
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
     chunk_block, first, recv_packed = _chunk_tables(level)
+    # bfloat16 `pre` selects the single-pass bf16 MXU path (and halves the
+    # kernel's dominant HBM read); f32 `pre` keeps exact HIGHEST dots.
+    op_dtype = "bfloat16" if pre.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(pre.dtype).name if op_dtype == "bfloat16" else "float32"
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
 
     def _raw_forward(pre, w_stack, b_stack):
-        call = _get_fwd(e_pad, n_pad, c, n_layers, interpret)
-        return call(chunk_block, first, pre.astype(jnp.float32), w_stack,
+        call = _get_fwd(e_pad, n_pad, c, n_layers, interpret, op_dtype)
+        return call(chunk_block, first, pre.astype(pre_dtype), w_stack,
                     b_stack, recv_packed)
 
     @jax.custom_vjp
@@ -306,9 +336,10 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
 
     def bwd(res, g):
         pre, w_stack, b_stack = res
-        call = _get_bwd(e_pad, n_pad, c, n_layers, interpret)
+        call = _get_bwd(e_pad, n_pad, c, n_layers, interpret, op_dtype,
+                        pre_dtype)
         dpre, dw, db = call(
-            chunk_block, first, pre.astype(jnp.float32), w_stack, b_stack,
+            chunk_block, first, pre.astype(pre_dtype), w_stack, b_stack,
             recv_packed, g.astype(jnp.float32),
         )
         return dpre.astype(pre.dtype), dw, db

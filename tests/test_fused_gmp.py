@@ -146,3 +146,41 @@ def test_trainer_pallas_matches_ell_over_steps():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
     # Sanity: losses actually evolve (the step is doing real work).
     assert len({round(x, 6) for x in l_ell}) > 1
+
+
+def test_fused_bf16_mode_close_to_f32(setup, rng):
+    """bf16 `pre` selects the single-pass bf16 MXU path; results must stay
+    within bf16 rounding of the f32 kernel, and grads must stay finite and
+    close (the large-scale inference/training recipe relies on this mode)."""
+    lvl, mlp, _ = setup
+    pre32 = jnp.asarray(
+        rng.standard_normal((lvl.n_pad_edges, 128)).astype(np.float32)
+    )
+    ws, bs = tuple(mlp.weights[1:]), tuple(mlp.biases[1:])
+    out32 = fused_edge_mlp_aggregate(lvl, pre32, ws, bs)
+    out16 = fused_edge_mlp_aggregate(lvl, pre32.astype(jnp.bfloat16), ws, bs)
+    assert out16.dtype == jnp.float32  # f32 accumulation
+    n = lvl.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out16)[:n], np.asarray(out32)[:n], rtol=0.1, atol=0.15
+    )
+
+    cot = jnp.asarray(
+        rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32)
+    )
+
+    def loss(pre, ws, bs):
+        return jnp.vdot(fused_edge_mlp_aggregate(lvl, pre, ws, bs), cot)
+
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(pre32.astype(jnp.bfloat16), ws, bs)
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(pre32, ws, bs)
+    assert g16[0].dtype == jnp.bfloat16
+    # bf16-rounded `pre` flips ReLU masks right at the boundary, so isolated
+    # elements legitimately differ by O(1); require directional agreement
+    # and matching scale rather than elementwise closeness.
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        a, b = np.asarray(a, np.float32).ravel(), np.asarray(b, np.float32).ravel()
+        assert np.isfinite(a).all()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.99
+        assert 0.9 < np.linalg.norm(a) / (np.linalg.norm(b) + 1e-12) < 1.1
