@@ -156,8 +156,82 @@ def cal_ew(level: LevelGraph, w, method: str = "ell"):
     return jax.lax.stop_gradient(ec), jax.lax.stop_gradient(aggr_w[..., None])
 
 
+def _conv_fast_ok(level: LevelGraph, x) -> bool:
+    return (
+        x.ndim in (2, 3)
+        and x.shape[-1] % 128 == 0
+        and level.n_pad_nodes % 128 == 0
+        and level.n_pad_edges % 128 == 0
+        and level.recv_indptr.ndim == 1
+        and level.reverse_perm.ndim == 1
+    )
+
+
+def _conv_down_raw(level: LevelGraph, x, ew):
+    """y[n] = Σ_{e: recv(e)=n} ew_e · x[send_e]: one gather + the streaming
+    receiver kernel."""
+    from bsms_gnn_tpu.ops.pallas import segment_sum_raw
+
+    msg = jnp.take(x, level.senders, axis=-2) * ew[..., None]
+    return segment_sum_raw(level, msg).astype(x.dtype)
+
+
+def _conv_up_raw(level: LevelGraph, x, ew):
+    """y[n] = Σ_{e: send(e)=n} ew_e · x[recv_e]. For the symmetric edge
+    sets the builder emits, the sender-sum of x[receivers]·ew equals the
+    RECEIVER-sum of x[senders]·ew∘reverse_perm (each edge's contribution
+    rides its reverse twin) — so the up conv is also one gather + the same
+    streaming kernel, instead of gather + a second random [E, C]
+    reverse-permutation pass + kernel (the old segment_sum_send path)."""
+    from bsms_gnn_tpu.ops.pallas import segment_sum_raw
+
+    ew_rev = jnp.take(ew, level.reverse_perm, axis=-1)
+    msg = jnp.take(x, level.senders, axis=-2) * ew_rev[..., None]
+    return segment_sum_raw(level, msg).astype(x.dtype)
+
+
+def _make_conv_pair(level: LevelGraph):
+    """Down/up weighted convs as a custom-VJP ADJOINT pair: convᵀ_down =
+    conv_up with the same weights, so each backward is the optimized twin.
+
+    `ew` gets a ZERO cotangent: transition weights are no-grad by
+    construction (reference cal_ew is @torch.no_grad, `ops/basic.py:142`;
+    level.ew is a static offline artifact here).
+    """
+
+    @jax.custom_vjp
+    def down(x, ew):
+        return _conv_down_raw(level, x, ew)
+
+    def down_fwd(x, ew):
+        return _conv_down_raw(level, x, ew), (ew,)
+
+    def down_bwd(res, g):
+        (ew,) = res
+        return _conv_up_raw(level, g, ew), jnp.zeros_like(ew)
+
+    down.defvjp(down_fwd, down_bwd)
+
+    @jax.custom_vjp
+    def up(x, ew):
+        return _conv_up_raw(level, x, ew)
+
+    def up_fwd(x, ew):
+        return _conv_up_raw(level, x, ew), (ew,)
+
+    def up_bwd(res, g):
+        (ew,) = res
+        return _conv_down_raw(level, g, ew), jnp.zeros_like(ew)
+
+    up.defvjp(up_fwd, up_bwd)
+    return down, up
+
+
 def edge_conv_down(level: LevelGraph, x, ew, method: str = "ell"):
     """Aggregating pass: msg = x[senders] · ew, summed at receivers."""
+    if method in ("pallas", "fused") and _conv_fast_ok(level, x):
+        down, _ = _make_conv_pair(level)
+        return down(x, ew)
     msg = gather_send(level, x, method) * ew[..., None]
     return aggregate_recv(level, msg, method)
 
@@ -165,5 +239,8 @@ def edge_conv_down(level: LevelGraph, x, ew, method: str = "ell"):
 def edge_conv_up(level: LevelGraph, x, ew, method: str = "ell"):
     """Returning pass (ref aggragating=False): msg = x[receivers] · ew,
     summed at senders."""
+    if method in ("pallas", "fused") and _conv_fast_ok(level, x):
+        _, up = _make_conv_pair(level)
+        return up(x, ew)
     msg = gather_recv(level, x, method) * ew[..., None]
     return aggregate_send(level, msg, method)

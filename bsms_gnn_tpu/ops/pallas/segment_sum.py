@@ -177,6 +177,17 @@ def segment_sum_send_pallas(level, feat) -> Optional[jax.Array]:
     return agg(feat)
 
 
+def segment_sum_raw(level, feat) -> Optional[jax.Array]:
+    """The bare receiver-sum kernel with NO custom VJP attached — for
+    callers that define their own adjoint over a larger fused expression
+    (ops/message.py's conv adjoint pair). Returns None when unsupported."""
+    if not _supported(level, feat):
+        return None
+    if feat.ndim == 3:
+        return jax.vmap(lambda f: _forward(level, f))(feat)
+    return _forward(level, feat)
+
+
 def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
     """Aggregate [E_pad, C] edge features into [N_pad, C] receiver sums, or
     None when the kernel doesn't apply (caller falls back to ELL)."""
