@@ -3,7 +3,8 @@ hierarchy precompute at scale + single-chip inference throughput, reported
 as edges/s across all levels. Training at this scale uses remat
 (`model.remat=true`) so only node-level residuals persist.
 
-Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train] [dtype]
+Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train]
+           [dtype] [aggregation] [edge_block]
 
 `dtype` (float32 default, bfloat16) sets `model.compute_dtype`. At this
 scale the forward is HBM-bandwidth-bound on [E,128] edge activations
@@ -23,7 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
-         aggregation="pallas"):
+         aggregation="pallas", edge_block=128):
+    # edge_block=512 cuts the segment-sum kernel 33->19 ms (f32) at this
+    # scale but inflates E_pad ~13%, which costs MORE on the XLA-side edge
+    # work (gather + edge-MLP scale with E_pad): measured end-to-end
+    # 2611 ms vs 2203 ms. Default stays 128; the knob remains for
+    # aggregation-dominated workloads.
     import jax
     import jax.numpy as jnp
 
@@ -51,12 +57,14 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
     edges = to_flat_edge(cells, "tri")
     h = load_or_build_hierarchy(
         cache_dir, f"scale{n_nodes}", edges, depth, pos.shape[0],
-        pos.astype(np.float64),
+        pos.astype(np.float64), edge_block=edge_block,
     )
     total_edges = sum(g.n_edges for g in h.levels)
+    total_pad = sum(g.n_pad_edges for g in h.levels)
     print(
         f"precompute {time.time()-t0:.0f}s; N={pos.shape[0]} "
-        f"edges/level={[g.n_edges for g in h.levels]} total={total_edges}",
+        f"edges/level={[g.n_edges for g in h.levels]} total={total_edges} "
+        f"pad={total_pad} (eb={edge_block})",
         flush=True,
     )
     h = jax.device_put(h)
@@ -126,4 +134,5 @@ if __name__ == "__main__":
         a[2] if len(a) > 2 else "infer",
         a[3] if len(a) > 3 else "float32",
         a[4] if len(a) > 4 else "pallas",
+        int(a[5]) if len(a) > 5 else 128,
     )

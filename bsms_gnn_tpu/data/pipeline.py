@@ -114,7 +114,9 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
     k = max(1, int(getattr(cfg, "size_buckets", 1)))
     plan_path = os.path.join(
         cfg.root, cfg.name,
-        f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}_k{k}.json",
+        f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}_k{k}"
+        + (f"_eb{cfg.edge_block}" if cfg.edge_block != 128 else "")
+        + ".json",
     )
     if os.path.isfile(plan_path):
         with open(plan_path) as f:
@@ -151,7 +153,8 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
             for l, g in enumerate(levels.graphs):
                 counts = np.bincount(g.flat_edges[1], minlength=node_buckets[l])
                 edge_buckets[l] = max(
-                    edge_buckets[l], layout_edge_count(counts, node_buckets[l])
+                    edge_buckets[l],
+                    layout_edge_count(counts, node_buckets[l], cfg.edge_block),
                 )
             del levels
         groups.append({"node_buckets": node_buckets, "edge_buckets": edge_buckets})

@@ -69,6 +69,7 @@ class TrajectoryReader:
             pad_multiple=cfg.pad_multiple,
             node_buckets=node_buckets,
             edge_buckets=edge_buckets,
+            edge_block=cfg.edge_block,
         )
         self.n_pad = self.hierarchy.levels[0].n_pad_nodes
 

@@ -42,12 +42,18 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 8
+CACHE_VERSION = 9
+# Raw (unpadded) bi-stride levels are independent of the padding/layout
+# parameters; their cache format last changed at v8.
+LEVELS_CACHE_VERSION = 8
 
 # Edge chunk granularity: every 128-node block's edge segment is padded to a
-# multiple of EDGE_BLOCK slots, so the Pallas segment-sum can stream
+# multiple of `edge_block` slots, so the Pallas segment-sum can stream
 # grid-aligned chunks (auto-pipelined) and map each chunk to exactly one
-# 128-row output block.
+# 128-row output block. EDGE_BLOCK is the default; large meshes want bigger
+# blocks (the kernel pays a fixed ~250 ns per chunk — measured on v5e — so
+# at millions of edges 512-edge chunks cut aggregation time ~40% for a
+# ~10-25% edge-padding overhead; at <100k edges the overhead isn't worth it).
 EDGE_BLOCK = 128
 NODE_BLOCK = 128
 
@@ -90,6 +96,9 @@ class LevelGraph:
     fiber: np.ndarray  # [E_pad, pos_dim+1] f64
     n_nodes: int = struct.field(pytree_node=False)  # real N
     n_edges: int = struct.field(pytree_node=False)  # real E
+    # Chunk granularity this layout was built with (the Pallas segment-sum
+    # streams chunks of exactly this many edges; see module docstring).
+    edge_block: int = struct.field(pytree_node=False, default=EDGE_BLOCK)
 
     @property
     def n_pad_nodes(self) -> int:
@@ -136,20 +145,22 @@ def _build_ell(index: np.ndarray, slots: np.ndarray, n_pad: int, e_pad: int) -> 
     return ell
 
 
-def layout_edge_count(edge_counts_per_node: np.ndarray, n_pad: int) -> int:
+def layout_edge_count(
+    edge_counts_per_node: np.ndarray, n_pad: int, edge_block: int = EDGE_BLOCK
+) -> int:
     """Padded layout size for given per-node real edge counts: per 128-node
-    block, ceil(max(count,1)/EDGE_BLOCK)·EDGE_BLOCK slots (≥1 chunk each)."""
+    block, ceil(max(count,1)/edge_block)·edge_block slots (≥1 chunk each)."""
     counts = np.zeros(n_pad, np.int64)
     counts[: len(edge_counts_per_node)] = edge_counts_per_node
     blocks = counts.reshape(-1, NODE_BLOCK).sum(axis=1)
     seg = np.maximum(blocks, 1)
-    seg = -(-seg // EDGE_BLOCK) * EDGE_BLOCK
+    seg = -(-seg // edge_block) * edge_block
     return int(seg.sum())
 
 
 def _pad_level(
     g: CsrGraph, n_pad: int, e_pad_min: int, ec: Optional[np.ndarray] = None,
-    lvl_pos: Optional[np.ndarray] = None,
+    lvl_pos: Optional[np.ndarray] = None, edge_block: int = EDGE_BLOCK,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -169,22 +180,22 @@ def _pad_level(
         )
 
     # Block-aligned layout: per 128-node block, its edges then pad slots up
-    # to a multiple of EDGE_BLOCK (at least one chunk per block so every
+    # to a multiple of edge_block (at least one chunk per block so every
     # output block is visited by the Pallas kernel).
     recv_counts = np.bincount(r_sorted, minlength=n_pad)
     block_counts = recv_counts.reshape(-1, NODE_BLOCK).sum(axis=1)
-    seg_lens = -(-np.maximum(block_counts, 1) // EDGE_BLOCK) * EDGE_BLOCK
+    seg_lens = -(-np.maximum(block_counts, 1) // edge_block) * edge_block
     e_layout = int(seg_lens.sum())
-    e_pad = max(e_layout, -(-e_pad_min // EDGE_BLOCK) * EDGE_BLOCK)
+    e_pad = max(e_layout, -(-e_pad_min // edge_block) * edge_block)
 
     block_starts = np.zeros(len(seg_lens) + 1, np.int64)
     np.cumsum(seg_lens, out=block_starts[1:])
 
     # Slot position of each sorted real edge: block start + rank in block.
-    edge_block = r_sorted // NODE_BLOCK
+    blk_of_edge = r_sorted // NODE_BLOCK
     cum_before = np.zeros(len(seg_lens) + 1, np.int64)
     np.cumsum(block_counts, out=cum_before[1:])
-    slots = block_starts[edge_block] + (np.arange(e) - cum_before[edge_block])
+    slots = block_starts[blk_of_edge] + (np.arange(e) - cum_before[blk_of_edge])
 
     senders = np.full(e_pad, n_pad - 1, dtype=np.int32)
     receivers = np.full(e_pad, n_pad - 1, dtype=np.int32)
@@ -243,6 +254,7 @@ def _pad_level(
         fiber=fiber,
         n_nodes=n,
         n_edges=e,
+        edge_block=edge_block,
     )
 
 
@@ -254,6 +266,7 @@ def build_hierarchy(
     pad_multiple: int = 128,
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
+    edge_block: int = EDGE_BLOCK,
 ) -> Hierarchy:
     """Build bi-stride levels and pad them to static shapes.
 
@@ -263,7 +276,10 @@ def build_hierarchy(
     node).
     """
     levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
-    return pad_levels(levels, pad_multiple, node_buckets, edge_buckets, pos=pos)
+    return pad_levels(
+        levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
+        edge_block=edge_block,
+    )
 
 
 def pad_levels(
@@ -272,6 +288,7 @@ def pad_levels(
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
     pos: Optional[np.ndarray] = None,
+    edge_block: int = EDGE_BLOCK,
 ) -> Hierarchy:
     graphs, ids = levels.graphs, levels.ids
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
@@ -299,6 +316,7 @@ def pad_levels(
         _pad_level(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
+            edge_block=edge_block,
         )
         for l, g in enumerate(graphs)
     )
@@ -306,7 +324,7 @@ def pad_levels(
         # Stacking across meshes requires every mesh to land on the exact
         # bucket size, i.e. the bucket must cover the block-aligned layout.
         for l, g in enumerate(lvl_graphs):
-            assert g.n_pad_edges == _pad_to(edge_buckets[l], EDGE_BLOCK), (
+            assert g.n_pad_edges == _pad_to(edge_buckets[l], edge_block), (
                 f"level {l}: layout {g.n_pad_edges} exceeds edge bucket "
                 f"{edge_buckets[l]}"
             )
@@ -345,8 +363,14 @@ def _atomic_savez(path: str, arrays: dict) -> None:
             raise
 
 
-def _cache_key(num_layers: int, pad_multiple: int, node_buckets, edge_buckets) -> str:
-    blob = f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}|{edge_buckets}"
+def _cache_key(
+    num_layers: int, pad_multiple: int, node_buckets, edge_buckets,
+    edge_block: int = EDGE_BLOCK,
+) -> str:
+    blob = (
+        f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}"
+        f"|{edge_buckets}|eb{edge_block}"
+    )
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 
@@ -364,7 +388,9 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
         arrays[f"l{l}_reverse_perm"] = g.reverse_perm
         arrays[f"l{l}_ew"] = g.ew
         arrays[f"l{l}_fiber"] = g.fiber
-        arrays[f"l{l}_meta"] = np.array([g.n_nodes, g.n_edges], dtype=np.int64)
+        arrays[f"l{l}_meta"] = np.array(
+            [g.n_nodes, g.n_edges, g.edge_block], dtype=np.int64
+        )
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
         arrays[f"t{l}_unpool_inv"] = t.unpool_inv
@@ -392,6 +418,7 @@ def load_hierarchy(path: str) -> Hierarchy:
                     fiber=z[f"l{l}_fiber"],
                     n_nodes=int(meta[0]),
                     n_edges=int(meta[1]),
+                    edge_block=int(meta[2]) if meta.size > 2 else EDGE_BLOCK,
                 )
             )
         transitions = [
@@ -414,7 +441,8 @@ def load_or_build_levels(
     from bsms_gnn_tpu.graph.csr import CsrGraph
 
     path = os.path.join(
-        cache_dir, f"{cache_name}_tpu_levels_v{CACHE_VERSION}_d{num_layers}.npz"
+        cache_dir,
+        f"{cache_name}_tpu_levels_v{LEVELS_CACHE_VERSION}_d{num_layers}.npz",
     )
     if os.path.isfile(path):
         try:
@@ -449,11 +477,12 @@ def load_or_build_hierarchy(
     pad_multiple: int = 128,
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
+    edge_block: int = EDGE_BLOCK,
 ) -> Hierarchy:
     """Cache-through build. `cache_name` should be shared across trajectories
     when the dataset has a consistent mesh (one build serves all, matching
     reference `base.py:98-101` cache-sharing) and per-trajectory otherwise."""
-    key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets)
+    key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets, edge_block)
     path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
     if os.path.isfile(path):
         try:
@@ -463,7 +492,10 @@ def load_or_build_hierarchy(
     levels = load_or_build_levels(
         cache_dir, cache_name, flat_edges, num_layers, num_nodes, pos
     )
-    h = pad_levels(levels, pad_multiple, node_buckets, edge_buckets, pos=pos)
+    h = pad_levels(
+        levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
+        edge_block=edge_block,
+    )
     os.makedirs(cache_dir, exist_ok=True)
     save_hierarchy(path, h)
     return h

@@ -39,10 +39,12 @@ import jax
 import jax.numpy as jnp
 
 BN = 128  # node rows per output block
-BE = 128  # edges per chunk (= one packed receiver row)
+# Edges per chunk = the level layout's `edge_block` (one packed receiver
+# row). Bigger chunks amortize the ~250 ns fixed per-chunk cost (measured on
+# v5e) — large-mesh layouts use 512 (see graph/hierarchy.py).
 
 
-def _make_kernel():
+def _make_kernel(be: int):
     import jax.experimental.pallas as pl
 
     def kernel(chunk_block_ref, first_ref, feat_ref, recv_ref, out_ref):
@@ -57,7 +59,7 @@ def _make_kernel():
         # this chunk's row is c mod 8.
         row = jax.lax.rem(c, 8)
         r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
-        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
         onehot = (node_iota == r_local).astype(feat_ref.dtype)  # [BN, BE]
         # HIGHEST keeps full f32 mantissas (the MXU truncates f32 operands
         # to bf16 by default); Mosaic rejects it for bf16 operands, where
@@ -79,17 +81,17 @@ def _make_kernel():
 
 
 @functools.lru_cache(maxsize=None)
-def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool):
+def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool, be: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    num_chunks = e_pad // BE
+    num_chunks = e_pad // be
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # chunk→block table, first-visit flags
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BE), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (BN, c),
@@ -98,7 +100,7 @@ def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool):
         ),
     )
     return pl.pallas_call(
-        _make_kernel(),
+        _make_kernel(be),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -116,10 +118,11 @@ def _get_call(e_pad: int, n_pad: int, c: int, dtype, interpret: bool):
 def _supported(level, feat) -> bool:
     if feat.ndim not in (2, 3):
         return False
+    be = getattr(level, "edge_block", 128)
     return (
         feat.shape[-1] % 128 == 0
         and level.n_pad_nodes % BN == 0
-        and level.n_pad_edges % BE == 0
+        and level.n_pad_edges % be == 0
         and level.recv_indptr.ndim == 1
     )
 
@@ -127,11 +130,12 @@ def _supported(level, feat) -> bool:
 def _forward(level, feat):
     interpret = jax.default_backend() != "tpu"
     n_pad, e_pad = level.n_pad_nodes, level.n_pad_edges
-    num_chunks = e_pad // BE
+    be = getattr(level, "edge_block", 128)
+    num_chunks = e_pad // be
     # Chunk → owning node block, from the layout's block starts
     # (recv_indptr at block boundaries; tail chunks land on the last block).
     block_starts = level.recv_indptr[::BN]  # [num_blocks + 1]
-    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * BE
+    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * be
     chunk_block = jnp.searchsorted(
         block_starts[1:], chunk_offs, side="right"
     ).astype(jnp.int32)
@@ -143,8 +147,10 @@ def _forward(level, feat):
         ]
     )
     dtype = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
-    call = _get_call(e_pad, n_pad, feat.shape[-1], jnp.dtype(dtype).name, interpret)
-    recv_packed = level.receivers.reshape(-1, BE).astype(jnp.int32)
+    call = _get_call(
+        e_pad, n_pad, feat.shape[-1], jnp.dtype(dtype).name, interpret, be
+    )
+    recv_packed = level.receivers.reshape(-1, be).astype(jnp.int32)
     rows8 = -(-num_chunks // 8) * 8
     recv_packed = jnp.pad(
         recv_packed, ((0, rows8 - num_chunks), (0, 0)), constant_values=n_pad - 1

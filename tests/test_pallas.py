@@ -14,11 +14,16 @@ from bsms_gnn_tpu.ops.scatter import aggregate_recv
 from bsms_gnn_tpu.ops.pallas.segment_sum import segment_sum_pallas
 
 
-@pytest.fixture(scope="module")
-def level():
+@pytest.fixture(scope="module", params=[128, 512], ids=["eb128", "eb512"])
+def level(request):
     pos, cells = make_grid_mesh(12, 12)
     edges = to_flat_edge(cells, "tri")
-    h = build_hierarchy(edges, 1, pos.shape[0], pos, pad_multiple=128)
+    h = build_hierarchy(
+        edges, 1, pos.shape[0], pos, pad_multiple=128,
+        edge_block=request.param,
+    )
+    assert h.levels[0].edge_block == request.param
+    assert h.levels[0].n_pad_edges % request.param == 0
     return h.levels[0]
 
 
