@@ -93,6 +93,29 @@ def gmp_apply(
     w1 = params.mlp_edge.weights[0]
     wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
 
+    if method == "fused" and not dyn_dims:
+        # v2 fused edge phase (ops/pallas/fused_gmp.py::fused_edge_phase):
+        # only the sender side is streamed; the receiver transform rides as
+        # [N, C] blocks and is gathered in-kernel by the transposed one-hot
+        # dot, so z_j, its gather, and the `pre` assembly never hit HBM.
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase
+
+        xj = dense(x, wj, 0.0, compute_dtype)
+        zi = gather_send(level, dense(x, wi, 0.0, compute_dtype), method) + dense(
+            static_fiber.astype(x.dtype), wf, params.mlp_edge.biases[0],
+            compute_dtype,
+        )
+        aggr = fused_edge_phase(
+            level, zi, xj, params.mlp_edge.weights[1:], params.mlp_edge.biases[1:]
+        )
+        if aggr is not None:
+            wn = params.mlp_node.weights[0]
+            node_pre = (
+                dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
+                + dense(aggr, wn[c:], 0.0, compute_dtype)
+            )
+            return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
+
     # Node-side pre-transforms, then gather the 128-lane-aligned activations.
     z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
     z_j = gather_recv(level, dense(x, wj, 0.0, compute_dtype), method)

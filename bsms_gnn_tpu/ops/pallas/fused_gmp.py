@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 BN = 128
-BE = 128
+# Edges per chunk = the level layout's `edge_block` (512-edge chunks both
+# amortize the fixed per-chunk cost and feed the MXU [512,128]x[128,128]
+# dots instead of [128,128]x[128,128]).
 LN_EPS = 1e-5
 
 
@@ -74,7 +76,7 @@ def _dot(a, b, op_dtype=jnp.float32):
     )
 
 
-def _make_fwd_kernel(n_layers: int, op_dtype):
+def _make_fwd_kernel(n_layers: int, op_dtype, be: int):
     import jax.experimental.pallas as pl
 
     def kernel(chunk_block_ref, first_ref, pre_ref, w_ref, b_ref, recv_ref,
@@ -92,7 +94,7 @@ def _make_fwd_kernel(n_layers: int, op_dtype):
 
         row = jax.lax.rem(c, 8)
         r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
-        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
         # One-hot selection is exact at any operand dtype; in bf16 mode the
         # summands are the (already bf16-rounded) LN outputs, accumulated f32.
         onehot = (node_iota == r_local).astype(jnp.float32)
@@ -101,7 +103,7 @@ def _make_fwd_kernel(n_layers: int, op_dtype):
     return kernel
 
 
-def _make_bwd_kernel(n_layers: int, op_dtype):
+def _make_bwd_kernel(n_layers: int, op_dtype, be: int):
     import jax.experimental.pallas as pl
 
     def kernel(chunk_block_ref, first_ref, pre_ref, w_ref, b_ref, recv_ref,
@@ -129,7 +131,7 @@ def _make_bwd_kernel(n_layers: int, op_dtype):
         # Edge cotangent: transposed one-hot gather of the node block.
         row = jax.lax.rem(c, 8)
         r_local = recv_ref[pl.ds(row, 1), :] - base_row
-        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
         onehot_t = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
         g = _dot_t(onehot_t, g_node_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
 
@@ -192,9 +194,10 @@ def _dot_nt(a, b, op_dtype=jnp.float32):
 
 def _chunk_tables(level):
     n_pad, e_pad = level.n_pad_nodes, level.n_pad_edges
-    num_chunks = e_pad // BE
+    be = getattr(level, "edge_block", 128)
+    num_chunks = e_pad // be
     block_starts = level.recv_indptr[::BN]
-    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * BE
+    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * be
     chunk_block = jnp.searchsorted(
         block_starts[1:], chunk_offs, side="right"
     ).astype(jnp.int32)
@@ -203,7 +206,7 @@ def _chunk_tables(level):
         [jnp.ones((1,), jnp.int32),
          (chunk_block[1:] != chunk_block[:-1]).astype(jnp.int32)]
     )
-    recv_packed = level.receivers.reshape(-1, BE).astype(jnp.int32)
+    recv_packed = level.receivers.reshape(-1, be).astype(jnp.int32)
     rows8 = -(-num_chunks // 8) * 8
     recv_packed = jnp.pad(
         recv_packed, ((0, rows8 - num_chunks), (0, 0)),
@@ -214,25 +217,25 @@ def _chunk_tables(level):
 
 @functools.lru_cache(maxsize=None)
 def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
-             op_dtype_name: str):
+             op_dtype_name: str, be: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(e_pad // BE,),
+        grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # biases [L, C]
-            pl.BlockSpec((8, BE), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        _make_fwd_kernel(n_layers, jnp.dtype(op_dtype_name)),
+        _make_fwd_kernel(n_layers, jnp.dtype(op_dtype_name), be),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -244,22 +247,22 @@ def _get_fwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
 
 @functools.lru_cache(maxsize=None)
 def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
-             op_dtype_name: str, pre_dtype_name: str):
+             op_dtype_name: str, pre_dtype_name: str, be: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(e_pad // BE,),
+        grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
-            pl.BlockSpec((8, BE), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # db [L, C]
         ],
@@ -269,7 +272,7 @@ def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         ],
     )
     return pl.pallas_call(
-        _make_bwd_kernel(n_layers, jnp.dtype(op_dtype_name)),
+        _make_bwd_kernel(n_layers, jnp.dtype(op_dtype_name), be),
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
             jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
@@ -283,6 +286,235 @@ def _get_bwd(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
     )
 
 
+def _make_fwd2_kernel(n_layers: int, op_dtype, be: int):
+    """v2: also fuses the receiver-side gather and `pre` assembly. Inputs:
+    zi (streamed [BE, C] sender-side pre-activation incl. fiber term and
+    first bias) and xj (the [BN, C] receiver-transform block, VMEM-resident
+    across same-block chunks). z_j is the transposed one-hot dot of the
+    block — the [E, C] receiver gather, its HBM write, and the 3-stream
+    `pre` assembly all disappear."""
+    import jax.experimental.pallas as pl
+
+    def kernel(chunk_block_ref, first_ref, zi_ref, xj_ref, w_ref, b_ref,
+               recv_ref, out_ref):
+        c = pl.program_id(0)
+        base_row = chunk_block_ref[c] * BN
+
+        @pl.when(first_ref[c] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        row = jax.lax.rem(c, 8)
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row  # [1, BE]
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
+
+        zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
+        pre = zi_ref[:].astype(jnp.float32) + zj
+        e = _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype)
+        out_ref[:] += _dot(onehot, e, op_dtype)
+
+    return kernel
+
+
+def _make_bwd2_kernel(n_layers: int, op_dtype, be: int):
+    import jax.experimental.pallas as pl
+
+    def kernel(chunk_block_ref, first_ref, zi_ref, xj_ref, w_ref, b_ref,
+               recv_ref, g_node_ref, dzi_ref, dxj_ref, dw_ref, db_ref,
+               dw_acc, db_acc):
+        c = pl.program_id(0)
+        nc = pl.num_programs(0)
+        base_row = chunk_block_ref[c] * BN
+
+        @pl.when(c == 0)
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
+
+        @pl.when(first_ref[c] == 1)
+        def _():
+            dxj_ref[:] = jnp.zeros_like(dxj_ref)
+
+        row = jax.lax.rem(c, 8)
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
+
+        # Recompute forward (remat-in-kernel), saving per-layer inputs.
+        zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
+        pre = zi_ref[:].astype(jnp.float32) + zj
+        h = jnp.maximum(pre, 0.0)
+        hs = [h]
+        for l in range(n_layers - 1):
+            h = jnp.maximum(
+                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
+            )
+            hs.append(h)
+        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
+        normed, inv = _layer_norm_fwd(out)
+
+        g = _dot_t(onehot, g_node_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
+
+        g_mean = jnp.mean(g, axis=-1, keepdims=True)
+        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
+        dout = (g - g_mean - normed * gn_mean) * inv
+
+        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
+        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
+        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
+
+        for l in range(n_layers - 2, -1, -1):
+            dh = dh * (hs[l + 1] > 0.0)
+            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
+            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
+            dh = _dot_nt(dh, w_ref[l], op_dtype)
+
+        dpre = dh * (pre > 0.0)
+        dzi_ref[:] = dpre.astype(dzi_ref.dtype)
+        dxj_ref[:] += _dot(onehot, dpre, op_dtype)
+
+        @pl.when(c == nc - 1)
+        def _():
+            dw_ref[:] = dw_acc[:]
+            db_ref[:] = db_acc[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_fwd2(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, be: int, x_dtype_name: str):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases [L, C]
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd2_kernel(n_layers, jnp.dtype(op_dtype_name), be),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bwd2(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, pre_dtype_name: str, be: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f: (cb[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # db [L, C]
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, c, c), jnp.float32),
+            pltpu.VMEM((n_layers, c), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_bwd2_kernel(n_layers, jnp.dtype(op_dtype_name), be),
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
+            jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def fused_edge_phase(level, zi, xj, weights: Tuple, biases: Tuple
+                     ) -> Optional[jax.Array]:
+    """aggregate_recv(LN(MLP_tail(relu(zi + xj[receivers])))) in one kernel.
+
+    zi: [E_pad, C] sender-side pre-activation (x@W_i gathered to edges, plus
+    the fiber term and first-layer bias — everything except the receiver
+    part). xj: [N_pad, C] receiver transform x@W_j, gathered IN-KERNEL via
+    the transposed one-hot dot of the resident output block, so the [E, C]
+    receiver gather never exists in HBM. Gradients flow to zi, xj, weights,
+    biases (fused remat backward; d_xj accumulates into revisited blocks).
+    Returns None when unsupported (caller falls back)."""
+    if not supported(level, zi, weights):
+        return None
+    if xj.shape[-2:] != (level.n_pad_nodes, zi.shape[-1]):
+        return None
+
+    n_layers = len(weights)
+    interpret = jax.default_backend() != "tpu"
+    c = zi.shape[-1]
+    e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
+    be = getattr(level, "edge_block", 128)
+    chunk_block, first, recv_packed = _chunk_tables(level)
+    op_dtype = "bfloat16" if zi.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(zi.dtype).name if op_dtype == "bfloat16" else "float32"
+    w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
+    b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+
+    def _raw_forward(zi, xj, w_stack, b_stack):
+        call = _get_fwd2(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
+                         pre_dtype)
+        return call(chunk_block, first, zi.astype(pre_dtype),
+                    xj.astype(pre_dtype), w_stack, b_stack, recv_packed)
+
+    @jax.custom_vjp
+    def run(zi, xj, w_stack, b_stack):
+        return _raw_forward(zi, xj, w_stack, b_stack)
+
+    def fwd(zi, xj, w_stack, b_stack):
+        return _raw_forward(zi, xj, w_stack, b_stack), (zi, xj, w_stack, b_stack)
+
+    def bwd(res, g):
+        zi, xj, w_stack, b_stack = res
+        call = _get_bwd2(e_pad, n_pad, c, n_layers, interpret, op_dtype,
+                         pre_dtype, be)
+        dzi, dxj, dw, db = call(
+            chunk_block, first, zi.astype(pre_dtype), xj.astype(pre_dtype),
+            w_stack, b_stack, recv_packed, g.astype(jnp.float32),
+        )
+        return dzi.astype(zi.dtype), dxj.astype(xj.dtype), dw, db
+
+    run.defvjp(fwd, bwd)
+    if zi.ndim == 3:
+        return jax.vmap(run, in_axes=(0, 0, None, None))(
+            zi, xj, w_stack, b_stack
+        )
+    return run(zi, xj, w_stack, b_stack)
+
+
 def supported(level, pre, weights) -> bool:
     c = pre.shape[-1]
     if pre.ndim not in (2, 3):
@@ -292,7 +524,7 @@ def supported(level, pre, weights) -> bool:
     return (
         c % 128 == 0
         and level.n_pad_nodes % BN == 0
-        and level.n_pad_edges % BE == 0
+        and level.n_pad_edges % getattr(level, "edge_block", 128) == 0
         and level.recv_indptr.ndim == 1
     )
 
@@ -312,6 +544,7 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     interpret = jax.default_backend() != "tpu"
     c = pre.shape[-1]
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
+    be = getattr(level, "edge_block", 128)
     chunk_block, first, recv_packed = _chunk_tables(level)
     # bfloat16 `pre` selects the single-pass bf16 MXU path (and halves the
     # kernel's dominant HBM read); f32 `pre` keeps exact HIGHEST dots.
@@ -321,7 +554,7 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
 
     def _raw_forward(pre, w_stack, b_stack):
-        call = _get_fwd(e_pad, n_pad, c, n_layers, interpret, op_dtype)
+        call = _get_fwd(e_pad, n_pad, c, n_layers, interpret, op_dtype, be)
         return call(chunk_block, first, pre.astype(pre_dtype), w_stack,
                     b_stack, recv_packed)
 
@@ -337,7 +570,7 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     def bwd(res, g):
         pre, w_stack, b_stack = res
         call = _get_bwd(e_pad, n_pad, c, n_layers, interpret, op_dtype,
-                        pre_dtype)
+                        pre_dtype, be)
         dpre, dw, db = call(
             chunk_block, first, pre.astype(pre_dtype), w_stack, b_stack,
             recv_packed, g.astype(jnp.float32),

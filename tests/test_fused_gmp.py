@@ -17,12 +17,16 @@ from bsms_gnn_tpu.ops.scatter import aggregate_recv
 from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_mlp_aggregate
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=[128, 512], ids=["eb128", "eb512"])
+def setup(request):
     pos, cells = make_grid_mesh(10, 10)
     edges = to_flat_edge(cells, "tri")
-    h = build_hierarchy(edges, 1, pos.shape[0], pos, pad_multiple=128)
+    h = build_hierarchy(
+        edges, 1, pos.shape[0], pos, pad_multiple=128,
+        edge_block=request.param,
+    )
     lvl = h.levels[0]
+    assert lvl.edge_block == request.param
     mlp = init_mlp(jax.random.PRNGKey(0), 259, 128, 128, hidden_layers=3, layer_normalized=True)
     return lvl, mlp, pos
 
@@ -184,3 +188,75 @@ def test_fused_bf16_mode_close_to_f32(setup, rng):
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.99
         assert 0.9 < np.linalg.norm(a) / (np.linalg.norm(b) + 1e-12) < 1.1
+
+
+def test_fused_edge_phase_v2_matches_unfused(setup, rng):
+    """v2 kernel (in-kernel receiver gather + pre assembly): forward parity
+    with the composed unfused expression and full gradient parity (zi, xj,
+    weights, biases)."""
+    from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase
+    from bsms_gnn_tpu.ops.scatter import gather_recv
+
+    lvl, mlp, _ = setup
+    zi = jnp.asarray(rng.standard_normal((lvl.n_pad_edges, 128)).astype(np.float32))
+    xj = jnp.asarray(rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32))
+    ws, bs = tuple(mlp.weights[1:]), tuple(mlp.biases[1:])
+
+    def unfused(zi, xj, ws, bs):
+        pre = zi + gather_recv(lvl, xj, "ell")
+        e = mlp_apply_tail(mlp.replace(weights=(mlp.weights[0],) + tuple(ws),
+                                       biases=(mlp.biases[0],) + tuple(bs)),
+                           pre)
+        return aggregate_recv(lvl, e, "ell")
+
+    out = fused_edge_phase(lvl, zi, xj, ws, bs)
+    assert out is not None
+    want = unfused(zi, xj, ws, bs)
+    n = lvl.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(want)[:n], rtol=1e-4, atol=1e-4
+    )
+
+    cot = jnp.asarray(rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32))
+    cot = cot * jnp.asarray(lvl.node_mask)  # pad-node cotangents are masked
+
+    g_f = jax.grad(
+        lambda a, b, w, c_: jnp.vdot(fused_edge_phase(lvl, a, b, w, c_), cot),
+        argnums=(0, 1, 2, 3),
+    )(zi, xj, ws, bs)
+    g_u = jax.grad(
+        lambda a, b, w, c_: jnp.vdot(unfused(a, b, w, c_), cot),
+        argnums=(0, 1, 2, 3),
+    )(zi, xj, ws, bs)
+    real_e = np.flatnonzero(np.asarray(lvl.edge_mask) > 0)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0])[real_e], np.asarray(g_u[0])[real_e],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_f[1])[: lvl.n_nodes], np.asarray(g_u[1])[: lvl.n_nodes],
+        rtol=1e-4, atol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(g_f[2:]), jax.tree.leaves(g_u[2:])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_fused_edge_phase_v2_batched(setup, rng):
+    from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase
+
+    lvl, mlp, _ = setup
+    zi = jnp.asarray(
+        rng.standard_normal((2, lvl.n_pad_edges, 128)).astype(np.float32)
+    )
+    xj = jnp.asarray(
+        rng.standard_normal((2, lvl.n_pad_nodes, 128)).astype(np.float32)
+    )
+    ws, bs = tuple(mlp.weights[1:]), tuple(mlp.biases[1:])
+    out = fused_edge_phase(lvl, zi, xj, ws, bs)
+    assert out is not None and out.shape == (2, lvl.n_pad_nodes, 128)
+    single = fused_edge_phase(lvl, zi[1], xj[1], ws, bs)
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(single), rtol=1e-6, atol=1e-6
+    )
