@@ -213,48 +213,53 @@ def _conv_up_raw(level: LevelGraph, x, ew):
     return segment_sum_raw(level, msg).astype(x.dtype)
 
 
-def _make_conv_pair(level: LevelGraph):
+def _make_conv_pair():
     """Down/up weighted convs as a custom-VJP ADJOINT pair: convᵀ_down =
     conv_up with the same weights, so each backward is the optimized twin.
 
     `ew` gets a ZERO cotangent: transition weights are no-grad by
     construction (reference cal_ew is @torch.no_grad, `ops/basic.py:142`;
-    level.ew is a static offline artifact here).
+    level.ew is a static offline artifact here). `level` is an explicit
+    custom-VJP argument (None cotangent): the backwards read its arrays
+    from the residuals, never the closure — closure capture leaks tracers
+    when fwd/bwd trace separately (jax.checkpoint / remat).
     """
 
     @jax.custom_vjp
-    def down(x, ew):
+    def down(level, x, ew):
         return _conv_down_raw(level, x, ew)
 
-    def down_fwd(x, ew):
-        return _conv_down_raw(level, x, ew), (ew,)
+    def down_fwd(level, x, ew):
+        return _conv_down_raw(level, x, ew), (level, ew)
 
     def down_bwd(res, g):
-        (ew,) = res
-        return _conv_up_raw(level, g, ew), jnp.zeros_like(ew)
+        level, ew = res
+        return None, _conv_up_raw(level, g, ew), jnp.zeros_like(ew)
 
     down.defvjp(down_fwd, down_bwd)
 
     @jax.custom_vjp
-    def up(x, ew):
+    def up(level, x, ew):
         return _conv_up_raw(level, x, ew)
 
-    def up_fwd(x, ew):
-        return _conv_up_raw(level, x, ew), (ew,)
+    def up_fwd(level, x, ew):
+        return _conv_up_raw(level, x, ew), (level, ew)
 
     def up_bwd(res, g):
-        (ew,) = res
-        return _conv_down_raw(level, g, ew), jnp.zeros_like(ew)
+        level, ew = res
+        return None, _conv_down_raw(level, g, ew), jnp.zeros_like(ew)
 
     up.defvjp(up_fwd, up_bwd)
     return down, up
 
 
+_CONV_DOWN, _CONV_UP = _make_conv_pair()
+
+
 def edge_conv_down(level: LevelGraph, x, ew, method: str = "ell"):
     """Aggregating pass: msg = x[senders] · ew, summed at receivers."""
     if method in ("pallas", "fused") and _conv_fast_ok(level, x):
-        down, _ = _make_conv_pair(level)
-        return down(x, ew)
+        return _CONV_DOWN(level, x, ew)
     msg = gather_send(level, x, method) * ew[..., None]
     return aggregate_recv(level, msg, method)
 
@@ -263,7 +268,6 @@ def edge_conv_up(level: LevelGraph, x, ew, method: str = "ell"):
     """Returning pass (ref aggragating=False): msg = x[receivers] · ew,
     summed at senders."""
     if method in ("pallas", "fused") and _conv_fast_ok(level, x):
-        _, up = _make_conv_pair(level)
-        return up(x, ew)
+        return _CONV_UP(level, x, ew)
     msg = gather_recv(level, x, method) * ew[..., None]
     return aggregate_send(level, msg, method)

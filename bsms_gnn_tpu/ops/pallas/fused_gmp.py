@@ -478,41 +478,48 @@ def fused_edge_phase(level, zi, xj, weights: Tuple, biases: Tuple
     c = zi.shape[-1]
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
     be = getattr(level, "edge_block", 128)
-    chunk_block, first, recv_packed = _chunk_tables(level)
     op_dtype = "bfloat16" if zi.dtype == jnp.bfloat16 else "float32"
     pre_dtype = jnp.dtype(zi.dtype).name if op_dtype == "bfloat16" else "float32"
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
 
-    def _raw_forward(zi, xj, w_stack, b_stack):
+    # `level` rides as an explicit custom-VJP argument (None cotangent) so
+    # fwd AND bwd derive the chunk tables from residual-threaded arrays —
+    # closure capture leaks tracers when fwd/bwd trace separately
+    # (jax.checkpoint / the remat train mode).
+
+    def _raw_forward(lvl, zi, xj, w_stack, b_stack):
+        chunk_block, first, recv_packed = _chunk_tables(lvl)
         call = _get_fwd2(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
                          pre_dtype)
         return call(chunk_block, first, zi.astype(pre_dtype),
                     xj.astype(pre_dtype), w_stack, b_stack, recv_packed)
 
     @jax.custom_vjp
-    def run(zi, xj, w_stack, b_stack):
-        return _raw_forward(zi, xj, w_stack, b_stack)
+    def run(lvl, zi, xj, w_stack, b_stack):
+        return _raw_forward(lvl, zi, xj, w_stack, b_stack)
 
-    def fwd(zi, xj, w_stack, b_stack):
-        return _raw_forward(zi, xj, w_stack, b_stack), (zi, xj, w_stack, b_stack)
+    def fwd(lvl, zi, xj, w_stack, b_stack):
+        out = _raw_forward(lvl, zi, xj, w_stack, b_stack)
+        return out, (lvl, zi, xj, w_stack, b_stack)
 
     def bwd(res, g):
-        zi, xj, w_stack, b_stack = res
+        lvl, zi, xj, w_stack, b_stack = res
+        chunk_block, first, recv_packed = _chunk_tables(lvl)
         call = _get_bwd2(e_pad, n_pad, c, n_layers, interpret, op_dtype,
                          pre_dtype, be)
         dzi, dxj, dw, db = call(
             chunk_block, first, zi.astype(pre_dtype), xj.astype(pre_dtype),
             w_stack, b_stack, recv_packed, g.astype(jnp.float32),
         )
-        return dzi.astype(zi.dtype), dxj.astype(xj.dtype), dw, db
+        return None, dzi.astype(zi.dtype), dxj.astype(xj.dtype), dw, db
 
     run.defvjp(fwd, bwd)
     if zi.ndim == 3:
-        return jax.vmap(run, in_axes=(0, 0, None, None))(
-            zi, xj, w_stack, b_stack
+        return jax.vmap(run, in_axes=(None, 0, 0, None, None))(
+            level, zi, xj, w_stack, b_stack
         )
-    return run(zi, xj, w_stack, b_stack)
+    return run(level, zi, xj, w_stack, b_stack)
 
 
 def supported(level, pre, weights) -> bool:
@@ -545,7 +552,6 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     c = pre.shape[-1]
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
     be = getattr(level, "edge_block", 128)
-    chunk_block, first, recv_packed = _chunk_tables(level)
     # bfloat16 `pre` selects the single-pass bf16 MXU path (and halves the
     # kernel's dominant HBM read); f32 `pre` keeps exact HIGHEST dots.
     op_dtype = "bfloat16" if pre.dtype == jnp.bfloat16 else "float32"
@@ -553,31 +559,40 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
 
-    def _raw_forward(pre, w_stack, b_stack):
+    # `level` rides as an explicit custom-VJP argument (None cotangent) so
+    # fwd AND bwd derive the chunk tables from residual-threaded arrays —
+    # closure capture leaks tracers when fwd/bwd trace separately
+    # (jax.checkpoint / the remat train mode).
+
+    def _raw_forward(lvl, pre, w_stack, b_stack):
+        chunk_block, first, recv_packed = _chunk_tables(lvl)
         call = _get_fwd(e_pad, n_pad, c, n_layers, interpret, op_dtype, be)
         return call(chunk_block, first, pre.astype(pre_dtype), w_stack,
                     b_stack, recv_packed)
 
     @jax.custom_vjp
-    def run(pre, w_stack, b_stack):
-        return _raw_forward(pre, w_stack, b_stack)
+    def run(lvl, pre, w_stack, b_stack):
+        return _raw_forward(lvl, pre, w_stack, b_stack)
 
-    def fwd(pre, w_stack, b_stack):
+    def fwd(lvl, pre, w_stack, b_stack):
         # Call the raw forward, NOT `run`: re-entering the custom_vjp
         # function inside its own fwd rule breaks under nested transforms.
-        return _raw_forward(pre, w_stack, b_stack), (pre, w_stack, b_stack)
+        return _raw_forward(lvl, pre, w_stack, b_stack), (lvl, pre, w_stack, b_stack)
 
     def bwd(res, g):
-        pre, w_stack, b_stack = res
+        lvl, pre, w_stack, b_stack = res
+        chunk_block, first, recv_packed = _chunk_tables(lvl)
         call = _get_bwd(e_pad, n_pad, c, n_layers, interpret, op_dtype,
                         pre_dtype, be)
         dpre, dw, db = call(
             chunk_block, first, pre.astype(pre_dtype), w_stack, b_stack,
             recv_packed, g.astype(jnp.float32),
         )
-        return dpre.astype(pre.dtype), dw, db
+        return None, dpre.astype(pre.dtype), dw, db
 
     run.defvjp(fwd, bwd)
     if pre.ndim == 3:
-        return jax.vmap(run, in_axes=(0, None, None))(pre, w_stack, b_stack)
-    return run(pre, w_stack, b_stack)
+        return jax.vmap(run, in_axes=(None, 0, None, None))(
+            level, pre, w_stack, b_stack
+        )
+    return run(level, pre, w_stack, b_stack)

@@ -161,26 +161,34 @@ def _forward(level, feat):
 def segment_sum_send_pallas(level, feat) -> Optional[jax.Array]:
     """Aggregate [E_pad, C] edge features into [N_pad, C] SENDER sums by
     permuting each slot to its reverse edge and reusing the receiver-sorted
-    kernel (symmetric edge sets). Backward is a gather by sender."""
+    kernel (symmetric edge sets). Backward is a gather by sender.
+
+    `level` rides as an explicit custom-VJP argument (None cotangent) so the
+    backward reads its arrays from the residuals, never from the closure —
+    closure capture leaks tracers when fwd and bwd trace separately
+    (jax.checkpoint / the remat train mode)."""
     if not _supported(level, feat) or level.reverse_perm.ndim != 1:
         return None
 
     in_dtype = feat.dtype
 
+    def _run(lvl, f):
+        return _forward(lvl, jnp.take(f, lvl.reverse_perm, axis=-2))
+
     @jax.custom_vjp
-    def agg(f):
-        return _forward(level, jnp.take(f, level.reverse_perm, axis=-2))
+    def agg(lvl, f):
+        return _run(lvl, f)
 
-    def fwd(f):
-        return _forward(level, jnp.take(f, level.reverse_perm, axis=-2)), None
+    def fwd(lvl, f):
+        return _run(lvl, f), lvl
 
-    def bwd(_, g):
-        return (jnp.take(g, level.senders, axis=-2).astype(in_dtype),)
+    def bwd(lvl, g):
+        return None, jnp.take(g, lvl.senders, axis=-2).astype(in_dtype)
 
     agg.defvjp(fwd, bwd)
     if feat.ndim == 3:
-        return jax.vmap(agg)(feat)
-    return agg(feat)
+        return jax.vmap(agg, in_axes=(None, 0))(level, feat)
+    return agg(level, feat)
 
 
 def segment_sum_raw(level, feat) -> Optional[jax.Array]:
@@ -196,25 +204,29 @@ def segment_sum_raw(level, feat) -> Optional[jax.Array]:
 
 def segment_sum_pallas(level, feat) -> Optional[jax.Array]:
     """Aggregate [E_pad, C] edge features into [N_pad, C] receiver sums, or
-    None when the kernel doesn't apply (caller falls back to ELL)."""
+    None when the kernel doesn't apply (caller falls back to ELL).
+
+    `level` is an explicit custom-VJP argument (None cotangent): the
+    backward gather reads `receivers` from the residuals, not the closure
+    (closure capture leaks tracers under jax.checkpoint — remat training)."""
     if not _supported(level, feat):
         return None
 
     in_dtype = feat.dtype
 
     @jax.custom_vjp
-    def agg(f):
-        return _forward(level, f)
+    def agg(lvl, f):
+        return _forward(lvl, f)
 
-    def fwd(f):
-        return _forward(level, f), None
+    def fwd(lvl, f):
+        return _forward(lvl, f), lvl
 
-    def bwd(_, g):
-        return (jnp.take(g, level.receivers, axis=-2).astype(in_dtype),)
+    def bwd(lvl, g):
+        return None, jnp.take(g, lvl.receivers, axis=-2).astype(in_dtype)
 
     agg.defvjp(fwd, bwd)
     if feat.ndim == 3:
         # Batched consistent-mesh mode: vmap adds a batch grid dimension to
         # the pallas_call (one kernel launch, B× the chunks).
-        return jax.vmap(agg)(feat)
-    return agg(feat)
+        return jax.vmap(agg, in_axes=(None, 0))(level, feat)
+    return agg(level, feat)

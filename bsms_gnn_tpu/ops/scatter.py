@@ -119,34 +119,41 @@ def _halo_axis(method: str):
 def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
     """Gather whose backward aggregates edge cotangents through the Pallas
     segment-sum (falling back to ELL for unsupported widths). Keeps
-    million-edge training free of [N, K, C] ELL materializations."""
+    million-edge training free of [N, K, C] ELL materializations.
+
+    `level` is an explicit custom-VJP argument (None cotangent) so the
+    backward reads its arrays from the residuals — closure capture leaks
+    tracers when fwd/bwd trace separately (jax.checkpoint / remat)."""
     in_dtype = x.dtype
 
+    def _run(lvl, x):
+        return _take(x, lvl.senders if to_sender else lvl.receivers)
+
     @jax.custom_vjp
-    def g(x):
-        return _take(x, level.senders if to_sender else level.receivers)
+    def g(lvl, x):
+        return _run(lvl, x)
 
-    def fwd(x):
-        return g(x), None
+    def fwd(lvl, x):
+        return _run(lvl, x), lvl
 
-    def bwd(_, ct):
+    def bwd(lvl, ct):
         from bsms_gnn_tpu.ops.pallas import (
             segment_sum_pallas,
             segment_sum_send_pallas,
         )
 
         if to_sender:
-            out = segment_sum_send_pallas(level, ct)
+            out = segment_sum_send_pallas(lvl, ct)
             if out is None:
-                out = _ell_sum(ct, level.send_ell)
+                out = _ell_sum(ct, lvl.send_ell)
         else:
-            out = segment_sum_pallas(level, ct)
+            out = segment_sum_pallas(lvl, ct)
             if out is None:
-                out = _ell_sum(ct, level.recv_ell)
-        return (out.astype(in_dtype),)
+                out = _ell_sum(ct, lvl.recv_ell)
+        return None, out.astype(in_dtype)
 
     g.defvjp(fwd, bwd)
-    return g(x)
+    return g(level, x)
 
 
 def gather_send(level, x, method: str = "ell"):

@@ -2,6 +2,8 @@
 with the unfused path, full gradient parity (pre, weights, biases), batched
 mode, and GMP-level integration."""
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -259,4 +261,50 @@ def test_fused_edge_phase_v2_batched(setup, rng):
     single = fused_edge_phase(lvl, zi[1], xj[1], ws, bs)
     np.testing.assert_allclose(
         np.asarray(out[1]), np.asarray(single), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_under_remat(setup, rng):
+    """jax.checkpoint re-traces the forward inside the backward; the fused
+    custom-VJP pair must not capture outer-trace chunk tables (regression:
+    UnexpectedTracerError in the remat train mode at 1M scale)."""
+    from bsms_gnn_tpu.ops.message import gmp_apply
+
+    lvl, _, _ = setup
+    p = init_gmp(jax.random.PRNGKey(3), 128, 3, 2)
+    x = jnp.asarray(rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32))
+    cot = jnp.asarray(
+        rng.standard_normal((lvl.n_pad_nodes, 128)).astype(np.float32)
+    )
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loss(x, method):
+        f = jax.checkpoint(lambda v: gmp_apply(p, lvl, v, None, method))
+        return jnp.vdot(f(x), cot)
+
+    g_e = jax.grad(loss)(x, "ell")
+    n = lvl.n_nodes
+    for method in ("fused", "pallas"):
+        g_m = jax.grad(loss)(x, method)
+        np.testing.assert_allclose(
+            np.asarray(g_m)[:n], np.asarray(g_e)[:n], rtol=1e-4, atol=1e-4
+        )
+
+    # The transition-conv adjoint pair under checkpoint as well.
+    from bsms_gnn_tpu.ops.message import edge_conv_down
+
+    ew = jnp.asarray(
+        (rng.standard_normal(lvl.n_pad_edges)
+         * np.asarray(lvl.edge_mask)).astype(np.float32)
+    )
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def closs(x, method):
+        f = jax.checkpoint(lambda v: edge_conv_down(lvl, v, ew, method))
+        return jnp.vdot(f(x), cot)
+
+    gc_e = jax.grad(closs)(x, "ell")
+    gc_p = jax.grad(closs)(x, "pallas")
+    np.testing.assert_allclose(
+        np.asarray(gc_p)[:n], np.asarray(gc_e)[:n], rtol=1e-4, atol=1e-4
     )
