@@ -48,6 +48,10 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
         f"model.aggregation={aggregation}",
         f"model.compute_dtype={dtype}",
         "model.remat=" + ("true" if mode == "train" else "false"),
+        # No normalizer warmup: the warmup branch of the trainer's lax.cond
+        # skips backward+optimizer entirely (30 ms/step at 1M!) and must
+        # not be what the train benchmark times (same as train_step.py).
+        "model.accumulation_steps=0",
     ])
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     cache_dir = "/tmp/bsms-scale"
