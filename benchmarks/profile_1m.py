@@ -45,12 +45,12 @@ def _scan_time(body, init, iters, timeit, steps=5):
     return t / iters
 
 
-def load_scale_hierarchy(cache_dir, n_nodes, depth):
+def load_scale_hierarchy(cache_dir, n_nodes, depth, edge_block=128):
     """Load the scale benchmark's cached hierarchy without re-running the
     1M-node Delaunay triangulation (cache-hit path only needs the file)."""
     from bsms_gnn_tpu.graph.hierarchy import _cache_key, load_hierarchy
 
-    key = _cache_key(depth, 128, None, None)
+    key = _cache_key(depth, 128, None, None, edge_block)
     path = os.path.join(cache_dir, f"scale{n_nodes}_tpu_mmesh_{key}.npz")
     if os.path.isfile(path):
         return load_hierarchy(path)
@@ -62,11 +62,11 @@ def load_scale_hierarchy(cache_dir, n_nodes, depth):
     edges = to_flat_edge(cells, "tri")
     return load_or_build_hierarchy(
         cache_dir, f"scale{n_nodes}", edges, depth, pos.shape[0],
-        pos.astype(np.float64),
+        pos.astype(np.float64), edge_block=edge_block,
     )
 
 
-def main(n_nodes=1_000_000, depth=7, iters=8):
+def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128):
     import jax
     import jax.numpy as jnp
 
@@ -83,16 +83,15 @@ def main(n_nodes=1_000_000, depth=7, iters=8):
 
     cfg = load_config([
         f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
-        "model.aggregation=pallas",
+        f"model.aggregation={method}",
     ])
     t0 = time.time()
-    h = load_scale_hierarchy("/tmp/bsms-scale", n_nodes, depth)
+    h = load_scale_hierarchy("/tmp/bsms-scale", n_nodes, depth, edge_block)
     print(f"hierarchy load {time.time()-t0:.0f}s; "
           f"edges/level={[g.n_edges for g in h.levels]}", flush=True)
     h = jax.device_put(h)
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
     c = cfg.model.latent_dim
-    method = "pallas"
 
     rows = []
 
@@ -153,5 +152,11 @@ def main(n_nodes=1_000_000, depth=7, iters=8):
 
 
 if __name__ == "__main__":
-    a = [int(x) for x in sys.argv[1:3]]
-    main(*a)
+    a = sys.argv[1:]
+    main(
+        int(a[0]) if a else 1_000_000,
+        int(a[1]) if len(a) > 1 else 7,
+        8,
+        a[2] if len(a) > 2 else "pallas",
+        int(a[3]) if len(a) > 3 else 128,
+    )
