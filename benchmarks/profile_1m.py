@@ -33,25 +33,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _scan_time(body, init, iters, timeit, steps=5):
+def _scan_time(body, init, iters, timeit, steps=5, consts=()):
+    """`consts` (e.g. the level graph) ride as jit ARGUMENTS, not closure
+    constants — embedded multi-MB constants blow the tunnel's remote-compile
+    request size limit (HTTP 413)."""
     import jax
 
     @jax.jit
-    def run(x):
-        out, _ = jax.lax.scan(lambda c, _: (body(c), None), x, None, length=iters)
+    def run(x, consts):
+        out, _ = jax.lax.scan(
+            lambda c, _: (body(c, *consts), None), x, None, length=iters
+        )
         return out
 
-    t = timeit(lambda: run(init), steps=steps)
+    t = timeit(lambda: run(init, consts), steps=steps)
     return t / iters
 
 
-def load_scale_hierarchy(cache_dir, n_nodes, depth, edge_block=128):
+def load_scale_hierarchy(cache_dir, n_nodes, depth, edge_block=128, window=0):
     """Load the scale benchmark's cached hierarchy without re-running the
     1M-node Delaunay triangulation (cache-hit path only needs the file)."""
     from bsms_gnn_tpu.graph.hierarchy import _cache_key, load_hierarchy
 
-    key = _cache_key(depth, 128, None, None, edge_block)
-    path = os.path.join(cache_dir, f"scale{n_nodes}_tpu_mmesh_{key}.npz")
+    name = f"scale{n_nodes}mrt" if window else f"scale{n_nodes}"
+    key = _cache_key(depth, 128, None, None, edge_block, window)
+    path = os.path.join(cache_dir, f"{name}_tpu_mmesh_{key}.npz")
     if os.path.isfile(path):
         return load_hierarchy(path)
     from bsms_gnn_tpu.data.synthetic import make_delaunay_mesh
@@ -59,14 +65,19 @@ def load_scale_hierarchy(cache_dir, n_nodes, depth, edge_block=128):
     from bsms_gnn_tpu.graph.mesh import to_flat_edge
 
     pos, cells, _ = make_delaunay_mesh(n_nodes, np.random.default_rng(0))
+    if window:
+        from bsms_gnn_tpu.graph.order import reorder_mesh
+
+        pos, cells, _, _ = reorder_mesh(pos, cells)
     edges = to_flat_edge(cells, "tri")
     return load_or_build_hierarchy(
-        cache_dir, f"scale{n_nodes}", edges, depth, pos.shape[0],
-        pos.astype(np.float64), edge_block=edge_block,
+        cache_dir, name, edges, depth, pos.shape[0],
+        pos.astype(np.float64), edge_block=edge_block, window=window,
     )
 
 
-def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128):
+def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128,
+         window=0):
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +97,8 @@ def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128):
         f"model.aggregation={method}",
     ])
     t0 = time.time()
-    h = load_scale_hierarchy("/tmp/bsms-scale", n_nodes, depth, edge_block)
+    h = load_scale_hierarchy("/tmp/bsms-scale", n_nodes, depth, edge_block,
+                             window)
     print(f"hierarchy load {time.time()-t0:.0f}s; "
           f"edges/level={[g.n_edges for g in h.levels]}", flush=True)
     h = jax.device_put(h)
@@ -107,10 +119,11 @@ def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128):
                  if l < depth else state.params.process.bottom_gmp)
             hx = jnp.zeros((level.n_pad_nodes, c), carry_dt)
 
-            def gmp_body(x, p=p, level=level):
+            def gmp_body(x, level, p=p):
                 return gmp_apply(p, level, x, None, method, cdt).astype(carry_dt)
 
-            t = _scan_time(gmp_body, hx, iters, pipelined_timeit)
+            t = _scan_time(gmp_body, hx, iters, pipelined_timeit,
+                           consts=(level,))
             report(f"gmp[{l}]", t, 2 if l < depth else 1, dtype_name)
 
         for l in range(depth):
@@ -118,13 +131,32 @@ def main(n_nodes=1_000_000, depth=7, iters=8, method="pallas", edge_block=128):
             ew = level.ew.astype(carry_dt)
             hx = jnp.zeros((level.n_pad_nodes, c), carry_dt)
 
-            def trans_body(x, level=level, trans=trans, ew=ew):
-                down = pool_nodes(trans, edge_conv_down(level, x, ew, method))
-                up = edge_conv_up(level, unpool_nodes(trans, down), ew, method)
+            def trans_body(x, level, trans, ew):
+                del ew  # level-own weights (None) select the windowed path
+                down = pool_nodes(trans, edge_conv_down(level, x, None, method))
+                up = edge_conv_up(level, unpool_nodes(trans, down), None, method)
                 return up.astype(carry_dt)
 
-            t = _scan_time(trans_body, hx, iters, pipelined_timeit)
+            t = _scan_time(trans_body, hx, iters, pipelined_timeit,
+                           consts=(level, trans, ew))
             report(f"trans[{l}]", t, 1, dtype_name)
+
+            if l == 0:
+                # Sub-op breakdown of the dominant level-0 round trip.
+                def conv_only(x, level, trans, ew):
+                    del ew
+                    return edge_conv_down(level, x, None, method).astype(carry_dt)
+
+                def pool_only(x, level, trans, ew):
+                    return unpool_nodes(trans, pool_nodes(trans, x)).astype(
+                        carry_dt
+                    )
+
+                for nm, body in (("conv_dn[0]", conv_only),
+                                 ("poolpair[0]", pool_only)):
+                    t = _scan_time(body, hx, iters, pipelined_timeit,
+                                   consts=(level, trans, ew))
+                    report(nm, t, 0, dtype_name)  # x0: informational only
 
         hx = jnp.zeros((h.levels[0].n_pad_nodes, c), carry_dt)
         from bsms_gnn_tpu.ops.dense import init_mlp
@@ -159,4 +191,5 @@ if __name__ == "__main__":
         8,
         a[2] if len(a) > 2 else "pallas",
         int(a[3]) if len(a) > 3 else 128,
+        int(a[4]) if len(a) > 4 else 0,
     )

@@ -4,7 +4,11 @@ as edges/s across all levels. Training at this scale uses remat
 (`model.remat=true`) so only node-level residuals persist.
 
 Usage: python benchmarks/scale_1m.py [n_nodes] [depth] [mode: infer|train]
-           [dtype] [aggregation] [edge_block]
+           [dtype] [aggregation] [edge_block] [window]
+
+`window` > 0 Morton-reorders the mesh (graph/order.py) and builds the
+windowed-gather layout so the transition convs run gather-free
+(ops/pallas/windowed.py).
 
 `dtype` (float32 default, bfloat16) sets `model.compute_dtype`. At this
 scale the forward is HBM-bandwidth-bound on [E,128] edge activations
@@ -24,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
-         aggregation="pallas", edge_block=128):
+         aggregation="pallas", edge_block=128, window=0):
     # edge_block=512 cuts the segment-sum kernel 33->19 ms (f32) at this
     # scale but inflates E_pad ~13%, which costs MORE on the XLA-side edge
     # work (gather + edge-MLP scale with E_pad): measured end-to-end
@@ -58,10 +62,16 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
     os.makedirs(cache_dir, exist_ok=True)
     t0 = time.time()
     pos, cells, node_type = make_delaunay_mesh(n_nodes, np.random.default_rng(0))
+    name = f"scale{n_nodes}"
+    if window:
+        from bsms_gnn_tpu.graph.order import reorder_mesh
+
+        pos, cells, _, _ = reorder_mesh(pos, cells)
+        name = f"scale{n_nodes}mrt"
     edges = to_flat_edge(cells, "tri")
     h = load_or_build_hierarchy(
-        cache_dir, f"scale{n_nodes}", edges, depth, pos.shape[0],
-        pos.astype(np.float64), edge_block=edge_block,
+        cache_dir, name, edges, depth, pos.shape[0],
+        pos.astype(np.float64), edge_block=edge_block, window=window,
     )
     total_edges = sum(g.n_edges for g in h.levels)
     total_pad = sum(g.n_pad_edges for g in h.levels)
@@ -139,4 +149,5 @@ if __name__ == "__main__":
         a[3] if len(a) > 3 else "float32",
         a[4] if len(a) > 4 else "pallas",
         int(a[5]) if len(a) > 5 else 128,
+        int(a[6]) if len(a) > 6 else 0,
     )

@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 9
+CACHE_VERSION = 10
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -99,6 +99,23 @@ class LevelGraph:
     # Chunk granularity this layout was built with (the Pallas segment-sum
     # streams chunks of exactly this many edges; see module docstring).
     edge_block: int = struct.field(pytree_node=False, default=EDGE_BLOCK)
+    # ew permuted to each slot's reverse edge (offline): the up conv is the
+    # receiver-sum of x[senders]·ew∘rev, so precomputing kills a per-step
+    # random [E] gather of static data (ops/message.py::_conv_up_raw).
+    ew_rev: Optional[np.ndarray] = None  # [E_pad] f64
+    # Windowed-gather tables (built when `window` > 0; see graph/order.py
+    # and ops/pallas/windowed.py). send_win holds each slot's sender index
+    # relative to its chunk's source window (sentinel `window` = handled by
+    # the residual sub-level instead); win_base maps each edge chunk to its
+    # window's half-window block index (window = rows [b·W/2, b·W/2 + W)).
+    send_win: Optional[np.ndarray] = None  # [E_pad] int32
+    win_base: Optional[np.ndarray] = None  # [E_pad // edge_block] int32
+    # Mini sub-level holding the out-of-window edges (symmetrized), same
+    # node space/padding: windowed ops add its contribution via the
+    # standard gather + segment-sum paths.
+    resid: Optional["LevelGraph"] = None
+    # Source-window row count (0 = windowed layout not built).
+    window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_pad_nodes(self) -> int:
@@ -161,10 +178,16 @@ def layout_edge_count(
 def _pad_level(
     g: CsrGraph, n_pad: int, e_pad_min: int, ec: Optional[np.ndarray] = None,
     lvl_pos: Optional[np.ndarray] = None, edge_block: int = EDGE_BLOCK,
+    window: int = 0,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
     assert n_pad % NODE_BLOCK == 0
+    if window:
+        assert window % 2 == 0 and window >= NODE_BLOCK
+        assert n_pad % (window // 2) == 0, (
+            f"windowed layout needs n_pad multiple of {window // 2}"
+        )
 
     # Receiver-sorted real edges.
     order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
@@ -207,13 +230,14 @@ def _pad_level(
     # Reverse-edge permutation: match (s, r) with (r, s) among real slots.
     key_fwd = s_sorted.astype(np.int64) * n_pad + r_sorted
     key_rev = r_sorted.astype(np.int64) * n_pad + s_sorted
-    order = np.argsort(key_fwd)
-    pos_of_rev = np.searchsorted(key_fwd[order], key_rev)
-    assert np.array_equal(key_fwd[order][pos_of_rev], key_rev), (
+    key_order = np.argsort(key_fwd)
+    pos_of_rev = np.searchsorted(key_fwd[key_order], key_rev)
+    assert np.array_equal(key_fwd[key_order][pos_of_rev], key_rev), (
         "level edge set is not symmetric"
     )
+    rev_idx = key_order[pos_of_rev]  # sorted-edge index of each edge's twin
     reverse_perm = np.arange(e_pad, dtype=np.int32)
-    reverse_perm[slots] = slots[order[pos_of_rev]].astype(np.int32)
+    reverse_perm[slots] = slots[rev_idx].astype(np.int32)
 
     # Per-node layout offsets: block start + cumulative count within block.
     within = recv_counts.reshape(-1, NODE_BLOCK)
@@ -240,6 +264,14 @@ def _pad_level(
     fiber = np.zeros((e_pad, pd1), np.float64)
     if fib_sorted is not None:
         fiber[slots] = fib_sorted
+    ew_rev = ew[reverse_perm]
+
+    send_win = win_base = resid_level = None
+    if window:
+        send_win, win_base, resid_level = _window_tables(
+            s_sorted, r_sorted, rev_idx, slots, block_starts, n, n_pad,
+            e_pad, window, edge_block, ec_sorted, lvl_pos,
+        )
     return LevelGraph(
         senders=senders,
         receivers=receivers,
@@ -255,7 +287,81 @@ def _pad_level(
         n_nodes=n,
         n_edges=e,
         edge_block=edge_block,
+        ew_rev=ew_rev,
+        send_win=send_win,
+        win_base=win_base,
+        resid=resid_level,
+        window=window,
     )
+
+
+def _window_tables(
+    s_sorted: np.ndarray,
+    r_sorted: np.ndarray,
+    rev_idx: np.ndarray,
+    slots: np.ndarray,
+    block_starts: np.ndarray,
+    n: int,
+    n_pad: int,
+    e_pad: int,
+    window: int,
+    edge_block: int,
+    ec_sorted: Optional[np.ndarray],
+    lvl_pos: Optional[np.ndarray],
+):
+    """Per-receiver-block aligned source windows for the windowed one-hot
+    gather kernel (ops/pallas/windowed.py).
+
+    For each 128-node receiver block, pick the W-row window (base aligned to
+    W/2) covering the most of its senders. Edges whose sender falls outside
+    (or whose reverse twin does — coverage is symmetrized so the residual
+    edge set stays symmetric) go to a mini residual LevelGraph over the same
+    padded node space, handled by the standard gather/segment paths. With
+    Morton-ordered nodes (graph/order.py) coverage is typically ≥90%."""
+    wh = window // 2
+    nblocks = n_pad // NODE_BLOCK
+    blk = r_sorted // NODE_BLOCK  # non-decreasing (receiver-sorted)
+    grain = s_sorted // wh
+    starts = np.searchsorted(blk, np.arange(nblocks + 1))
+    max_base = n_pad // wh - 2
+    base = np.zeros(nblocks, np.int64)
+    for b in range(nblocks):
+        seg = grain[starts[b] : starts[b + 1]]
+        if len(seg) == 0:
+            continue
+        cand = np.concatenate([seg - 1, seg])
+        cand = cand[(cand >= 0) & (cand <= max_base)]
+        if len(cand) == 0:
+            base[b] = min(max(int(seg[0]) - 1, 0), max_base)
+            continue
+        vals, cnts = np.unique(cand, return_counts=True)
+        base[b] = vals[np.argmax(cnts)]
+
+    lo = base[blk] * wh
+    covered = (s_sorted >= lo) & (s_sorted < lo + window)
+    covered &= covered[rev_idx]  # symmetrize
+
+    send_win = np.full(e_pad, window, np.int32)  # sentinel: out-of-window
+    send_win[slots[covered]] = (s_sorted[covered] - lo[covered]).astype(
+        np.int32
+    )
+
+    num_chunks = e_pad // edge_block
+    chunk_offs = np.arange(num_chunks, dtype=np.int64) * edge_block
+    chunk_blk = np.searchsorted(block_starts[1:], chunk_offs, side="right")
+    chunk_blk = np.minimum(chunk_blk, nblocks - 1)
+    win_base = base[chunk_blk].astype(np.int32)
+
+    resid_level = None
+    if not covered.all():
+        m = ~covered
+        redges = np.stack([s_sorted[m], r_sorted[m]]).astype(np.int64)
+        rec = None if ec_sorted is None else ec_sorted[m]
+        resid_level = _pad_level(
+            CsrGraph(redges, n), n_pad, 0, rec, lvl_pos,
+            edge_block=min(edge_block, EDGE_BLOCK), window=0,
+        )
+    return send_win, win_base, resid_level
 
 
 def build_hierarchy(
@@ -267,18 +373,21 @@ def build_hierarchy(
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
     edge_block: int = EDGE_BLOCK,
+    window: int = 0,
 ) -> Hierarchy:
     """Build bi-stride levels and pad them to static shapes.
 
     `node_buckets`/`edge_buckets` optionally force per-level padded sizes
     (for shape-bucketing across meshes of a variable-mesh dataset); otherwise
     each level pads up to the next `pad_multiple` (plus the guaranteed pad
-    node).
+    node). `window` > 0 additionally builds the windowed-gather tables
+    (best with a Morton-ordered mesh, graph/order.py; not supported together
+    with bucketed stacking).
     """
     levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
     return pad_levels(
         levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
-        edge_block=edge_block,
+        edge_block=edge_block, window=window,
     )
 
 
@@ -289,10 +398,13 @@ def pad_levels(
     edge_buckets: Optional[List[int]] = None,
     pos: Optional[np.ndarray] = None,
     edge_block: int = EDGE_BLOCK,
+    window: int = 0,
 ) -> Hierarchy:
     graphs, ids = levels.graphs, levels.ids
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
+    if window:
+        node_multiple = _pad_to(node_multiple, window // 2)
     n_pads = []
     e_pads = []
     for l, g in enumerate(graphs):
@@ -300,6 +412,7 @@ def pad_levels(
             n_pad = node_buckets[l]
             assert n_pad > g.num_nodes, f"node bucket {n_pad} too small at level {l}"
             assert n_pad % NODE_BLOCK == 0, f"node bucket {n_pad} not {NODE_BLOCK}-aligned"
+            assert not window, "windowed layout not supported with buckets"
         else:
             n_pad = _pad_to(g.num_nodes + 1, node_multiple)
         e = g.flat_edges.shape[1]
@@ -316,7 +429,7 @@ def pad_levels(
         _pad_level(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
-            edge_block=edge_block,
+            edge_block=edge_block, window=window,
         )
         for l, g in enumerate(graphs)
     )
@@ -365,32 +478,73 @@ def _atomic_savez(path: str, arrays: dict) -> None:
 
 def _cache_key(
     num_layers: int, pad_multiple: int, node_buckets, edge_buckets,
-    edge_block: int = EDGE_BLOCK,
+    edge_block: int = EDGE_BLOCK, window: int = 0,
 ) -> str:
     blob = (
         f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}"
-        f"|{edge_buckets}|eb{edge_block}"
+        f"|{edge_buckets}|eb{edge_block}|w{window}"
     )
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
+def _level_arrays(prefix: str, g: LevelGraph, arrays: dict) -> None:
+    arrays[f"{prefix}_senders"] = g.senders
+    arrays[f"{prefix}_receivers"] = g.receivers
+    arrays[f"{prefix}_recv_indptr"] = g.recv_indptr
+    arrays[f"{prefix}_recv_ell"] = g.recv_ell
+    arrays[f"{prefix}_send_ell"] = g.send_ell
+    arrays[f"{prefix}_deg"] = g.deg
+    arrays[f"{prefix}_node_mask"] = g.node_mask
+    arrays[f"{prefix}_edge_mask"] = g.edge_mask
+    arrays[f"{prefix}_reverse_perm"] = g.reverse_perm
+    arrays[f"{prefix}_ew"] = g.ew
+    arrays[f"{prefix}_fiber"] = g.fiber
+    arrays[f"{prefix}_meta"] = np.array(
+        [g.n_nodes, g.n_edges, g.edge_block, g.window], dtype=np.int64
+    )
+    if g.send_win is not None:
+        arrays[f"{prefix}_send_win"] = g.send_win
+        arrays[f"{prefix}_win_base"] = g.win_base
+    if g.resid is not None:
+        _level_arrays(f"{prefix}r", g.resid, arrays)
+
+
+def _level_from_arrays(prefix: str, z) -> LevelGraph:
+    meta = z[f"{prefix}_meta"]
+    ew = z[f"{prefix}_ew"]
+    reverse_perm = z[f"{prefix}_reverse_perm"]
+    has_win = f"{prefix}_send_win" in z
+    return LevelGraph(
+        senders=z[f"{prefix}_senders"],
+        receivers=z[f"{prefix}_receivers"],
+        recv_indptr=z[f"{prefix}_recv_indptr"],
+        recv_ell=z[f"{prefix}_recv_ell"],
+        send_ell=z[f"{prefix}_send_ell"],
+        deg=z[f"{prefix}_deg"],
+        node_mask=z[f"{prefix}_node_mask"],
+        edge_mask=z[f"{prefix}_edge_mask"],
+        reverse_perm=reverse_perm,
+        ew=ew,
+        fiber=z[f"{prefix}_fiber"],
+        n_nodes=int(meta[0]),
+        n_edges=int(meta[1]),
+        edge_block=int(meta[2]) if meta.size > 2 else EDGE_BLOCK,
+        ew_rev=ew[reverse_perm],  # derived, not stored
+        send_win=z[f"{prefix}_send_win"] if has_win else None,
+        win_base=z[f"{prefix}_win_base"] if has_win else None,
+        resid=(
+            _level_from_arrays(f"{prefix}r", z)
+            if f"{prefix}r_meta" in z
+            else None
+        ),
+        window=int(meta[3]) if meta.size > 3 else 0,
+    )
 
 
 def save_hierarchy(path: str, h: Hierarchy) -> None:
     arrays = {"depth": np.int64(h.depth)}
     for l, g in enumerate(h.levels):
-        arrays[f"l{l}_senders"] = g.senders
-        arrays[f"l{l}_receivers"] = g.receivers
-        arrays[f"l{l}_recv_indptr"] = g.recv_indptr
-        arrays[f"l{l}_recv_ell"] = g.recv_ell
-        arrays[f"l{l}_send_ell"] = g.send_ell
-        arrays[f"l{l}_deg"] = g.deg
-        arrays[f"l{l}_node_mask"] = g.node_mask
-        arrays[f"l{l}_edge_mask"] = g.edge_mask
-        arrays[f"l{l}_reverse_perm"] = g.reverse_perm
-        arrays[f"l{l}_ew"] = g.ew
-        arrays[f"l{l}_fiber"] = g.fiber
-        arrays[f"l{l}_meta"] = np.array(
-            [g.n_nodes, g.n_edges, g.edge_block], dtype=np.int64
-        )
+        _level_arrays(f"l{l}", g, arrays)
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
         arrays[f"t{l}_unpool_inv"] = t.unpool_inv
@@ -400,27 +554,7 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
 def load_hierarchy(path: str) -> Hierarchy:
     with np.load(path) as z:
         depth = int(z["depth"])
-        levels = []
-        for l in range(depth + 1):
-            meta = z[f"l{l}_meta"]
-            levels.append(
-                LevelGraph(
-                    senders=z[f"l{l}_senders"],
-                    receivers=z[f"l{l}_receivers"],
-                    recv_indptr=z[f"l{l}_recv_indptr"],
-                    recv_ell=z[f"l{l}_recv_ell"],
-                    send_ell=z[f"l{l}_send_ell"],
-                    deg=z[f"l{l}_deg"],
-                    node_mask=z[f"l{l}_node_mask"],
-                    edge_mask=z[f"l{l}_edge_mask"],
-                    reverse_perm=z[f"l{l}_reverse_perm"],
-                    ew=z[f"l{l}_ew"],
-                    fiber=z[f"l{l}_fiber"],
-                    n_nodes=int(meta[0]),
-                    n_edges=int(meta[1]),
-                    edge_block=int(meta[2]) if meta.size > 2 else EDGE_BLOCK,
-                )
-            )
+        levels = [_level_from_arrays(f"l{l}", z) for l in range(depth + 1)]
         transitions = [
             Transition(pool_ids=z[f"t{l}_pool_ids"], unpool_inv=z[f"t{l}_unpool_inv"])
             for l in range(depth)
@@ -478,11 +612,13 @@ def load_or_build_hierarchy(
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
     edge_block: int = EDGE_BLOCK,
+    window: int = 0,
 ) -> Hierarchy:
     """Cache-through build. `cache_name` should be shared across trajectories
     when the dataset has a consistent mesh (one build serves all, matching
     reference `base.py:98-101` cache-sharing) and per-trajectory otherwise."""
-    key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets, edge_block)
+    key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets,
+                     edge_block, window)
     path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
     if os.path.isfile(path):
         try:
@@ -494,7 +630,7 @@ def load_or_build_hierarchy(
     )
     h = pad_levels(
         levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
-        edge_block=edge_block,
+        edge_block=edge_block, window=window,
     )
     os.makedirs(cache_dir, exist_ok=True)
     save_hierarchy(path, h)

@@ -92,7 +92,6 @@ def bsgmp_apply(
 
     down_outs = []
     down_ps = []
-    cts = []
 
     for i in range(depth):
         level = hierarchy.levels[i]
@@ -106,14 +105,12 @@ def bsgmp_apply(
         # Transition weights: pure graph function, precomputed offline —
         # the reference's per-step no-grad cal_ew (`BSMS.py:73`) costs
         # three data movers per level per step for values that never
-        # change.
-        ew = level.ew.astype(h.dtype)
-        cts.append(ew)
-
-        h = edge_conv_down(level, h, ew, method)
+        # change. ew=None selects the level's own weights (and the
+        # windowed gather-free conv on layouts built with window > 0).
+        h = edge_conv_down(level, h, None, method)
         h = pool_nodes(trans, h)
         if dyn is not None:
-            dyn = edge_conv_down(level, dyn, ew.astype(dyn.dtype), method)
+            dyn = edge_conv_down(level, dyn, None, method)
             dyn = pool_nodes(trans, dyn)
 
     h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, dyn, method, compute_dtype)
@@ -125,7 +122,7 @@ def bsgmp_apply(
         level = hierarchy.levels[d]
         trans = hierarchy.transitions[d]
         h = unpool_nodes(trans, h)
-        h = edge_conv_up(level, h, cts[d], method)
+        h = edge_conv_up(level, h, None, method)
         h = gmp(params.up_gmps[i], level, h, down_ps[d], method, compute_dtype)
         if tap is not None:
             tap(f"up{i}", h)

@@ -190,13 +190,36 @@ def _conv_fast_ok(level: LevelGraph, x) -> bool:
     )
 
 
-def _conv_down_raw(level: LevelGraph, x, ew):
-    """y[n] = Σ_{e: recv(e)=n} ew_e · x[send_e]: one gather + the streaming
-    receiver kernel."""
+def _gathered_conv(level: LevelGraph, x, ew):
+    """One gather + the streaming receiver kernel over a slot-aligned weight
+    vector (`ew` for the down conv, `ew∘reverse` for the up conv)."""
     from bsms_gnn_tpu.ops.pallas import segment_sum_raw
 
     msg = jnp.take(x, level.senders, axis=-2) * ew[..., None]
     return segment_sum_raw(level, msg).astype(x.dtype)
+
+
+def _windowed_conv(level: LevelGraph, x, ew, up: bool):
+    """Gather-free windowed path (ops/pallas/windowed.py), or None when the
+    layout has no window tables. The mini residual level carries the
+    out-of-window edges through the gathered path; both sub-layouts share
+    the padded node space so the sums add."""
+    from bsms_gnn_tpu.ops.pallas.windowed import windowed_conv_raw
+
+    out = windowed_conv_raw(level, x, ew)
+    if out is None:
+        return None
+    r = level.resid
+    if r is not None:
+        ew_r = (r.ew_rev if up else r.ew).astype(x.dtype)
+        out = out + _gathered_conv(r, x, ew_r)
+    return out.astype(x.dtype)
+
+
+def _conv_down_raw(level: LevelGraph, x, ew):
+    """y[n] = Σ_{e: recv(e)=n} ew_e · x[send_e]: one gather + the streaming
+    receiver kernel. `ew` is arbitrary (slot-aligned)."""
+    return _gathered_conv(level, x, ew)
 
 
 def _conv_up_raw(level: LevelGraph, x, ew):
@@ -204,13 +227,27 @@ def _conv_up_raw(level: LevelGraph, x, ew):
     sets the builder emits, the sender-sum of x[receivers]·ew equals the
     RECEIVER-sum of x[senders]·ew∘reverse_perm (each edge's contribution
     rides its reverse twin) — so the up conv is also one gather + the same
-    streaming kernel, instead of gather + a second random [E, C]
-    reverse-permutation pass + kernel (the old segment_sum_send path)."""
-    from bsms_gnn_tpu.ops.pallas import segment_sum_raw
+    streaming kernel."""
+    return _gathered_conv(level, x, jnp.take(ew, level.reverse_perm, axis=-1))
 
-    ew_rev = jnp.take(ew, level.reverse_perm, axis=-1)
-    msg = jnp.take(x, level.senders, axis=-2) * ew_rev[..., None]
-    return segment_sum_raw(level, msg).astype(x.dtype)
+
+def _lvl_down_raw(level: LevelGraph, x):
+    """Down conv with the LEVEL'S OWN transition weights — the model's hot
+    path. Uses the gather-free windowed kernel when the layout has window
+    tables, and the precomputed `ew`/`ew_rev` either way."""
+    ew = level.ew.astype(x.dtype)
+    out = _windowed_conv(level, x, ew, up=False)
+    return _gathered_conv(level, x, ew) if out is None else out
+
+
+def _lvl_up_raw(level: LevelGraph, x):
+    ew_rev = (
+        level.ew_rev
+        if level.ew_rev is not None
+        else level.ew[level.reverse_perm]
+    ).astype(x.dtype)
+    out = _windowed_conv(level, x, ew_rev, up=True)
+    return _gathered_conv(level, x, ew_rev) if out is None else out
 
 
 def _make_conv_pair():
@@ -253,20 +290,66 @@ def _make_conv_pair():
     return down, up
 
 
+def _make_lvl_conv_pair():
+    """As `_make_conv_pair`, but bound to the level's own precomputed
+    transition weights (no ew argument) — which is what unlocks the
+    windowed gather-free kernel: the offline layout splits `ew` between the
+    main and residual sub-layouts, so an arbitrary runtime ew cannot ride
+    it."""
+
+    @jax.custom_vjp
+    def down(level, x):
+        return _lvl_down_raw(level, x)
+
+    def down_fwd(level, x):
+        return _lvl_down_raw(level, x), level
+
+    def down_bwd(level, g):
+        return None, _lvl_up_raw(level, g)
+
+    down.defvjp(down_fwd, down_bwd)
+
+    @jax.custom_vjp
+    def up(level, x):
+        return _lvl_up_raw(level, x)
+
+    def up_fwd(level, x):
+        return _lvl_up_raw(level, x), level
+
+    def up_bwd(level, g):
+        return None, _lvl_down_raw(level, g)
+
+    up.defvjp(up_fwd, up_bwd)
+    return down, up
+
+
 _CONV_DOWN, _CONV_UP = _make_conv_pair()
+_LVL_DOWN, _LVL_UP = _make_lvl_conv_pair()
 
 
-def edge_conv_down(level: LevelGraph, x, ew, method: str = "ell"):
-    """Aggregating pass: msg = x[senders] · ew, summed at receivers."""
+def edge_conv_down(level: LevelGraph, x, ew=None, method: str = "ell"):
+    """Aggregating pass: msg = x[senders] · ew, summed at receivers.
+
+    `ew=None` means "the level's own transition weights" (the model's case)
+    and additionally unlocks the windowed gather-free kernel on layouts
+    built with `window` > 0."""
+    if ew is None:
+        if method in ("pallas", "fused") and _conv_fast_ok(level, x):
+            return _LVL_DOWN(level, x)
+        ew = level.ew.astype(x.dtype)
     if method in ("pallas", "fused") and _conv_fast_ok(level, x):
         return _CONV_DOWN(level, x, ew)
     msg = gather_send(level, x, method) * ew[..., None]
     return aggregate_recv(level, msg, method)
 
 
-def edge_conv_up(level: LevelGraph, x, ew, method: str = "ell"):
+def edge_conv_up(level: LevelGraph, x, ew=None, method: str = "ell"):
     """Returning pass (ref aggragating=False): msg = x[receivers] · ew,
     summed at senders."""
+    if ew is None:
+        if method in ("pallas", "fused") and _conv_fast_ok(level, x):
+            return _LVL_UP(level, x)
+        ew = level.ew.astype(x.dtype)
     if method in ("pallas", "fused") and _conv_fast_ok(level, x):
         return _CONV_UP(level, x, ew)
     msg = gather_recv(level, x, method) * ew[..., None]

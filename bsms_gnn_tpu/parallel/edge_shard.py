@@ -31,8 +31,9 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
     to edge features and are gathered from everywhere)."""
     edge = P("graph")
     repl = P()
-    levels = tuple(
-        l.replace(
+
+    def level_spec(l):
+        return l.replace(
             senders=edge,
             receivers=edge,
             recv_indptr=repl,
@@ -44,9 +45,13 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             reverse_perm=edge,
             ew=edge,
             fiber=edge,
+            ew_rev=None if l.ew_rev is None else edge,
+            send_win=None if l.send_win is None else edge,
+            win_base=None if l.win_base is None else repl,
+            resid=None if l.resid is None else level_spec(l.resid),
         )
-        for l in h.levels
-    )
+
+    levels = tuple(level_spec(l) for l in h.levels)
     transitions = tuple(
         t.replace(pool_ids=repl, unpool_inv=repl) for t in h.transitions
     )

@@ -1,0 +1,211 @@
+"""Windowed one-hot gather conv (ops/pallas/windowed.py): parity with the
+gathered path, residual handling, gradients, Morton reordering, and cache
+round-trip of the windowed layout.
+
+The op under test replaces the transition conv's random row gather
+(reference `WeightedEdgeConv`, src/ops/basic.py:101-141) with MXU selection
+from VMEM-resident source windows — numerics must match the ELL oracle."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_grid_mesh
+
+from bsms_gnn_tpu.graph.hierarchy import (
+    build_hierarchy,
+    load_hierarchy,
+    save_hierarchy,
+)
+from bsms_gnn_tpu.graph.mesh import to_flat_edge
+from bsms_gnn_tpu.graph.order import morton_perm, reorder_mesh
+from bsms_gnn_tpu.ops.message import edge_conv_down, edge_conv_up
+
+C = 128
+
+
+def _setup(nx=40, ny=40, window=512, morton=True):
+    pos, cells = make_grid_mesh(nx, ny)
+    if morton:
+        pos, cells, _, _ = reorder_mesh(pos, cells)
+    else:
+        # Scramble node ids so most edges fall OUTSIDE every window —
+        # exercises the residual sub-level hard (a row-major grid already
+        # has near-perfect id locality).
+        rng = np.random.default_rng(11)
+        perm = rng.permutation(len(pos))
+        inv = np.empty(len(pos), np.int64)
+        inv[perm] = np.arange(len(pos))
+        pos, cells = pos[perm], inv[cells.astype(np.int64)].astype(cells.dtype)
+    edges = to_flat_edge(cells, "tri")
+    h_w = build_hierarchy(edges, 2, pos.shape[0], pos, window=window)
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+    return h_w, h_0
+
+
+def _rand_x(level, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((level.n_pad_nodes, C)).astype(dtype)
+    return jnp.asarray(x * np.asarray(level.node_mask, dtype))
+
+
+@pytest.mark.parametrize("conv", [edge_conv_down, edge_conv_up])
+@pytest.mark.parametrize("morton", [True, False])
+def test_windowed_conv_matches_ell(conv, morton):
+    """Windowed + residual sum equals the ELL oracle on real rows — with a
+    non-Morton mesh most edges land in the residual level, exercising that
+    path hard."""
+    h_w, h_0 = _setup(morton=morton)
+    lw, l0 = h_w.levels[0], h_0.levels[0]
+    if not morton:
+        assert lw.resid is not None and lw.resid.n_edges > lw.n_edges // 4
+    x = _rand_x(lw)
+    a = np.asarray(jax.jit(lambda x: conv(lw, x, None, "pallas"))(x))
+    x0 = x[: l0.n_pad_nodes]
+    b = np.asarray(jax.jit(lambda x: conv(l0, x, None, "ell"))(x0))
+    n = lw.n_nodes
+    np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=1e-6)
+
+
+def test_windowed_conv_bf16():
+    h_w, h_0 = _setup()
+    lw, l0 = h_w.levels[0], h_0.levels[0]
+    x = _rand_x(lw, np.float32)
+    out_w = jax.jit(
+        lambda x: edge_conv_down(lw, x.astype(jnp.bfloat16), None, "pallas")
+    )(x)
+    ref = jax.jit(
+        lambda x: edge_conv_down(l0, x, None, "ell")
+    )(x[: l0.n_pad_nodes])
+    n = lw.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out_w, np.float32)[:n], np.asarray(ref)[:n],
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_windowed_conv_grad_matches_ell():
+    h_w, h_0 = _setup()
+    lw, l0 = h_w.levels[0], h_0.levels[0]
+    x = _rand_x(lw)
+
+    def loss_w(x):
+        d = edge_conv_down(lw, x, None, "pallas")
+        return jnp.sum(edge_conv_up(lw, d, None, "pallas") ** 2)
+
+    def loss_0(x):
+        d = edge_conv_down(l0, x, None, "ell")
+        return jnp.sum(edge_conv_up(l0, d, None, "ell") ** 2)
+
+    gw = np.asarray(jax.jit(jax.grad(loss_w))(x))
+    g0 = np.asarray(jax.jit(jax.grad(loss_0))(x[: l0.n_pad_nodes]))
+    n = lw.n_nodes
+    np.testing.assert_allclose(gw[:n], g0[:n], rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_layout_invariants():
+    h_w, _ = _setup()
+    for g in h_w.levels:
+        assert g.window == 512
+        assert g.send_win.shape == (g.n_pad_edges,)
+        assert g.win_base.shape == (g.n_pad_edges // g.edge_block,)
+        wh = g.window // 2
+        assert g.n_pad_nodes % wh == 0
+        assert int(g.win_base.max()) + 2 <= g.n_pad_nodes // wh
+        # in-window slots decode back to the true sender
+        sw = g.send_win
+        covered = sw < g.window
+        chunk_of_slot = np.arange(g.n_pad_edges) // g.edge_block
+        base_rows = g.win_base[chunk_of_slot] * wh
+        dec = base_rows + sw
+        real = g.edge_mask > 0
+        both = covered & real
+        np.testing.assert_array_equal(dec[both], g.senders[both])
+        # every real edge is either windowed or in the residual level
+        n_res = 0 if g.resid is None else g.resid.n_edges
+        assert both.sum() + n_res == g.n_edges
+        # residual edge set is symmetric (its own _pad_level asserted it)
+        if g.resid is not None:
+            assert g.resid.n_pad_nodes == g.n_pad_nodes
+        # ew_rev is ew permuted to the reverse slot
+        np.testing.assert_array_equal(g.ew_rev, g.ew[g.reverse_perm])
+
+
+def test_windowed_cache_roundtrip(tmp_path):
+    h_w, _ = _setup(nx=20, ny=20)
+    path = os.path.join(str(tmp_path), "wh.npz")
+    save_hierarchy(path, h_w)
+    h2 = load_hierarchy(path)
+    for a, b in zip(h_w.levels, h2.levels):
+        assert a.window == b.window
+        np.testing.assert_array_equal(a.send_win, b.send_win)
+        np.testing.assert_array_equal(a.win_base, b.win_base)
+        np.testing.assert_array_equal(a.ew_rev, b.ew_rev)
+        assert (a.resid is None) == (b.resid is None)
+        if a.resid is not None:
+            np.testing.assert_array_equal(a.resid.senders, b.resid.senders)
+            np.testing.assert_array_equal(a.resid.ew, b.resid.ew)
+
+
+def test_morton_reorder_preserves_mesh():
+    pos, cells = make_grid_mesh(12, 12)
+    pos2, cells2, (aux,), perm = reorder_mesh(
+        pos, cells, [np.arange(len(pos))]
+    )
+    # aux carries old ids: positions must follow
+    np.testing.assert_array_equal(pos2, pos[aux])
+    # edge set is the same up to relabeling
+    e1 = to_flat_edge(cells, "tri")
+    e2 = to_flat_edge(cells2, "tri")
+    inv = np.empty(len(pos), np.int64)
+    inv[perm] = np.arange(len(pos))
+    relabeled = np.sort(inv[e1].T.tolist(), axis=0)
+    assert {tuple(c) for c in np.asarray(e2).T.tolist()} == {
+        tuple(c) for c in inv[e1].T.tolist()
+    }
+    # morton_perm is a permutation
+    assert np.array_equal(np.sort(morton_perm(pos)), np.arange(len(pos)))
+
+
+def test_windowed_simulator_forward_matches_default():
+    """Full flagship forward on a windowed Morton hierarchy equals the
+    default layout (real rows)."""
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+
+    pos, cells = make_grid_mesh(24, 24)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    cfg = load_config([
+        "model.unet_depth=2", "datasets.unet_depth=2",
+        "model.aggregation=pallas",
+    ])
+    h_w = build_hierarchy(edges, 2, pos.shape[0], pos, window=256)
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+    n = pos.shape[0]
+    c = cfg.model.out_dim
+
+    def make_in(n_pad):
+        rng = np.random.default_rng(7)
+        ni = np.zeros((n_pad, c + 3), np.float32)
+        ni[:n, :c] = rng.standard_normal((n, c))
+        ni[:n, c : c + 2] = pos
+        m = np.zeros((n_pad, 1), np.float32)
+        m[:n] = 1.0
+        return jnp.asarray(ni), jnp.asarray(m)
+
+    outs = []
+    for h in (h_w, h_0):
+        ni, m = make_in(h.levels[0].n_pad_nodes)
+        fwd = jax.jit(
+            lambda ni, m, h=h: simulator_forward(
+                state.params, state.norm_in, state.norm_out, h, ni, m,
+                cfg.model,
+            )
+        )
+        outs.append(np.asarray(fwd(ni, m))[:n])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=5e-5, atol=1e-5)
