@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 10
+CACHE_VERSION = 11
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -268,10 +268,25 @@ def _pad_level(
 
     send_win = win_base = resid_level = None
     if window:
-        send_win, win_base, resid_level = _window_tables(
-            s_sorted, r_sorted, rev_idx, slots, block_starts, n, n_pad,
-            e_pad, window, edge_block, ec_sorted, lvl_pos,
-        )
+        # Deeper bi-stride levels connect wider neighborhoods (squared
+        # adjacency), spreading senders further along the curve — escalate
+        # the window (2x/4x base) until ≥90% of edges are covered. All
+        # candidate half-windows divide n_pad (pad_levels aligns it to
+        # 2·window).
+        best = None
+        for w in (window, 2 * window, 4 * window):
+            if n_pad % (w // 2) or n_pad < w:
+                break
+            cand = _window_tables(
+                s_sorted, r_sorted, rev_idx, slots, block_starts, n, n_pad,
+                e_pad, w, edge_block, ec_sorted, lvl_pos,
+            )
+            if best is None or cand[3] > best[3]:
+                best = cand
+                window = w
+            if best[3] >= 0.9:
+                break
+        send_win, win_base, resid_level, _ = best
     return LevelGraph(
         senders=senders,
         receivers=receivers,
@@ -361,7 +376,8 @@ def _window_tables(
             CsrGraph(redges, n), n_pad, 0, rec, lvl_pos,
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
         )
-    return send_win, win_base, resid_level
+    coverage = covered.sum() / max(len(covered), 1)
+    return send_win, win_base, resid_level, coverage
 
 
 def build_hierarchy(
@@ -404,7 +420,9 @@ def pad_levels(
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
     if window:
-        node_multiple = _pad_to(node_multiple, window // 2)
+        # Multiple of 2·window so every escalated half-window (W, 2W, 4W
+        # → wh up to 2·window) divides n_pad.
+        node_multiple = _pad_to(node_multiple, 2 * window)
     n_pads = []
     e_pads = []
     for l, g in enumerate(graphs):

@@ -94,20 +94,45 @@ def gmp_apply(
     wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
 
     if method == "fused" and not dyn_dims:
-        # v2 fused edge phase (ops/pallas/fused_gmp.py::fused_edge_phase):
-        # only the sender side is streamed; the receiver transform rides as
-        # [N, C] blocks and is gathered in-kernel by the transposed one-hot
-        # dot, so z_j, its gather, and the `pre` assembly never hit HBM.
-        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import (
+            fused_edge_phase,
+            fused_edge_phase_win,
+        )
 
         xj = dense(x, wj, 0.0, compute_dtype)
-        zi = gather_send(level, dense(x, wi, 0.0, compute_dtype), method) + dense(
+        xwi = dense(x, wi, 0.0, compute_dtype)
+        fib_term = dense(
             static_fiber.astype(x.dtype), wf, params.mlp_edge.biases[0],
             compute_dtype,
         )
-        aggr = fused_edge_phase(
-            level, zi, xj, params.mlp_edge.weights[1:], params.mlp_edge.biases[1:]
+        aggr = None
+        # v3 (windowed layouts): BOTH gathers move in-kernel — the sender
+        # side as windowed one-hot selection, the receiver side as the
+        # transposed one-hot of the resident block. Out-of-window edges run
+        # the unfused edge phase on the mini residual layout; per-edge
+        # MLP+LN make the two aggregates exactly additive.
+        aggr = fused_edge_phase_win(
+            level, fib_term, xwi, xj,
+            params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
         )
+        if aggr is not None and level.resid is not None:
+            r = level.resid
+            pre_r = (
+                gather_send(r, xwi, "pallas")
+                + gather_recv(r, xj, "pallas")
+                + dense(r.fiber.astype(x.dtype), wf,
+                        params.mlp_edge.biases[0], compute_dtype)
+            )
+            e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+            aggr = aggr + aggregate_recv(r, e_r, "pallas")
+        if aggr is None:
+            # v2 fused edge phase: the sender side streams (XLA gather),
+            # receiver transform gathered in-kernel.
+            zi = gather_send(level, xwi, method) + fib_term
+            aggr = fused_edge_phase(
+                level, zi, xj,
+                params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
+            )
         if aggr is not None:
             wn = params.mlp_node.weights[0]
             node_pre = (

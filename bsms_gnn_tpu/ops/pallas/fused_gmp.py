@@ -457,6 +457,306 @@ def _get_bwd2(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
     )
 
 
+def _make_fwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
+    """v3: v2 plus IN-KERNEL windowed sender selection (see
+    ops/pallas/windowed.py for the window layout): the [E, C] sender gather
+    — XLA's issue-rate-bound `take` — disappears too. Inputs: zif (streamed
+    fiber term + first bias), xwi (sender transform, resident as two W/2
+    half-window blocks), xj (receiver transform block, v2 trick).
+    Out-of-window slots (sentinel) are masked out of the scatter; the
+    caller runs the level's mini residual layout through the unfused path
+    and adds it."""
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
+               xj_ref, w_ref, b_ref, sw_ref, recv_ref, out_ref):
+        i = pl.program_id(0)
+        base_row = cb_ref[i] * BN
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        row = jax.lax.rem(i, 8)
+        sw = sw_ref[pl.ds(row, 1), :]  # [1, BE]
+        c = out_ref.shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        oh_a = (iota_w == sw).astype(jnp.bfloat16)
+        oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+        sel = _select(oh_a, xwia_ref[:], f32_mode, c, be) + _select(
+            oh_b, xwib_ref[:], f32_mode, c, be
+        )
+
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)
+
+        zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
+        pre = zif_ref[:].astype(jnp.float32) + sel + zj
+        e = _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype)
+        # Mask out-of-window slots (handled by the residual pass) AND pad
+        # slots (sentinel too) from the scatter.
+        masked = jnp.where(sw < 2 * wh, onehot, 0.0)
+        out_ref[:] += _dot(masked, e, op_dtype)
+
+    return kernel
+
+
+def _make_bwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
+               xj_ref, w_ref, b_ref, sw_ref, recv_ref, g_node_ref,
+               dzif_ref, dxj_ref, dw_ref, db_ref, dw_acc, db_acc):
+        i = pl.program_id(0)
+        nc = pl.num_programs(0)
+        base_row = cb_ref[i] * BN
+
+        @pl.when(i == 0)
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            dxj_ref[:] = jnp.zeros_like(dxj_ref)
+
+        row = jax.lax.rem(i, 8)
+        sw = sw_ref[pl.ds(row, 1), :]
+        c = dxj_ref.shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        oh_a = (iota_w == sw).astype(jnp.bfloat16)
+        oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+        sel = _select(oh_a, xwia_ref[:], f32_mode, c, be) + _select(
+            oh_b, xwib_ref[:], f32_mode, c, be
+        )
+
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)
+        masked = jnp.where(sw < 2 * wh, onehot, 0.0)
+
+        # Recompute forward (remat-in-kernel).
+        zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
+        pre = zif_ref[:].astype(jnp.float32) + sel + zj
+        h = jnp.maximum(pre, 0.0)
+        hs = [h]
+        for l in range(n_layers - 1):
+            h = jnp.maximum(
+                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
+            )
+            hs.append(h)
+        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
+        normed, inv = _layer_norm_fwd(out)
+
+        # Masked slots get a ZERO edge cotangent (their output never
+        # entered the aggregate), which zeroes their whole chain below.
+        g = _dot_t(masked, g_node_ref[:].astype(jnp.float32), op_dtype)
+
+        g_mean = jnp.mean(g, axis=-1, keepdims=True)
+        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
+        dout = (g - g_mean - normed * gn_mean) * inv
+
+        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
+        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
+        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
+
+        for l in range(n_layers - 2, -1, -1):
+            dh = dh * (hs[l + 1] > 0.0)
+            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
+            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
+            dh = _dot_nt(dh, w_ref[l], op_dtype)
+
+        dpre = dh * (pre > 0.0)
+        dzif_ref[:] = dpre.astype(dzif_ref.dtype)
+        dxj_ref[:] += _dot(onehot, dpre, op_dtype)
+
+        @pl.when(i == nc - 1)
+        def _():
+            dw_ref[:] = dw_acc[:]
+            db_ref[:] = db_acc[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_fwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, be: int, wh: int, x_dtype_name: str):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases [L, C]
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BN, c), lambda i, cb, f, wb: (cb[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd3_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, pre_dtype_name: str, be: int, wh: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # db [L, C]
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, c, c), jnp.float32),
+            pltpu.VMEM((n_layers, c), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_bwd3_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh),
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
+            jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
+                         ) -> Optional[jax.Array]:
+    """v3: aggregate_recv(LN(MLP_tail(relu(zif + xwi[senders] +
+    xj[receivers])))) in one kernel, with BOTH gathers in-kernel (sender
+    side via windowed one-hot selection, receiver side via the transposed
+    one-hot of the resident block). Only the fiber term `zif` streams as an
+    [E, C] array. Returns None when the layout has no window tables (or the
+    shapes don't fit); residual (out-of-window) edges are NOT included —
+    the caller adds the mini-layout edge phase (ops/message.py)."""
+    from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
+
+    if not supported(level, zif, weights) or not win_supported(level, zif):
+        return None
+    if xwi.shape[-2:] != (level.n_pad_nodes, zif.shape[-1]):
+        return None
+    if xj.shape[-2:] != (level.n_pad_nodes, zif.shape[-1]):
+        return None
+
+    n_layers = len(weights)
+    interpret = jax.default_backend() != "tpu"
+    c = zif.shape[-1]
+    e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
+    be = getattr(level, "edge_block", 128)
+    wh = level.window // 2
+    op_dtype = "bfloat16" if zif.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(zif.dtype).name if op_dtype == "bfloat16" else "float32"
+    w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
+    b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _pack_rows
+
+    def _tables(lvl):
+        chunk_block, first, recv = _chunk_tables(lvl)
+        sw = _pack_rows(lvl.send_win.astype(jnp.int32), be, e_pad // be,
+                        lvl.window)
+        return chunk_block, first, lvl.win_base.astype(jnp.int32), sw, recv
+
+    def _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack):
+        cb, first, wb, sw, recv = _tables(lvl)
+        call = _get_fwd3(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
+                         wh, pre_dtype)
+        return call(cb, first, wb, zif.astype(pre_dtype),
+                    xwi.astype(pre_dtype), xwi.astype(pre_dtype),
+                    xj.astype(pre_dtype), w_stack, b_stack, sw, recv)
+
+    @jax.custom_vjp
+    def run(lvl, zif, xwi, xj, w_stack, b_stack):
+        return _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack)
+
+    def fwd(lvl, zif, xwi, xj, w_stack, b_stack):
+        out = _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack)
+        return out, (lvl, zif, xwi, xj, w_stack, b_stack)
+
+    def bwd(res, g):
+        lvl, zif, xwi, xj, w_stack, b_stack = res
+        cb, first, wb, sw, recv = _tables(lvl)
+        call = _get_bwd3(e_pad, n_pad, c, n_layers, interpret, op_dtype,
+                         pre_dtype, be, wh)
+        dzif, dxj, dw, db = call(
+            cb, first, wb, zif.astype(pre_dtype), xwi.astype(pre_dtype),
+            xwi.astype(pre_dtype), xj.astype(pre_dtype), w_stack, b_stack,
+            sw, recv, g.astype(jnp.float32),
+        )
+        # d_xwi[n] = Σ_{in-window e: send(e)=n} dpre_e. dzif is zero at
+        # masked slots, so the plain sender-sum over all slots is exact
+        # (reverse-permute + the receiver segment kernel, as the v2 gather
+        # backward does).
+        from bsms_gnn_tpu.ops.pallas.segment_sum import (
+            segment_sum_raw as _ssr,
+        )
+
+        dxwi = _ssr(lvl, jnp.take(dzif, lvl.reverse_perm, axis=-2))
+        return (None, dzif.astype(zif.dtype), dxwi.astype(xwi.dtype),
+                dxj.astype(xj.dtype), dw, db)
+
+    run.defvjp(fwd, bwd)
+    if zif.ndim == 3:
+        return jax.vmap(run, in_axes=(None, 0, 0, 0, None, None))(
+            level, zif, xwi, xj, w_stack, b_stack
+        )
+    return run(level, zif, xwi, xj, w_stack, b_stack)
+
+
 def fused_edge_phase(level, zi, xj, weights: Tuple, biases: Tuple
                      ) -> Optional[jax.Array]:
     """aggregate_recv(LN(MLP_tail(relu(zi + xj[receivers])))) in one kernel.

@@ -32,6 +32,8 @@ def _setup(nx=40, ny=40, window=512, morton=True):
     if morton:
         pos, cells, _, _ = reorder_mesh(pos, cells)
     else:
+        # Small base window so 4x escalation still can't span the node set.
+        window = 128
         # Scramble node ids so most edges fall OUTSIDE every window —
         # exercises the residual sub-level hard (a row-major grid already
         # has near-perfect id locality).
@@ -109,7 +111,7 @@ def test_windowed_conv_grad_matches_ell():
 def test_windowed_layout_invariants():
     h_w, _ = _setup()
     for g in h_w.levels:
-        assert g.window == 512
+        assert g.window in (512, 1024, 2048)  # base, may auto-escalate
         assert g.send_win.shape == (g.n_pad_edges,)
         assert g.win_base.shape == (g.n_pad_edges // g.edge_block,)
         wh = g.window // 2
@@ -209,3 +211,64 @@ def test_windowed_simulator_forward_matches_default():
         )
         outs.append(np.asarray(fwd(ni, m))[:n])
     np.testing.assert_allclose(outs[0], outs[1], rtol=5e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("morton", [True, False])
+def test_fused_v3_gmp_matches_ell(morton):
+    """fused GMP on a windowed layout (v3: both gathers in-kernel + mini
+    residual pass) equals the ELL path — forward and gradients."""
+    import functools
+
+    from bsms_gnn_tpu.ops.message import gmp_apply, init_gmp
+
+    h_w, h_0 = _setup(morton=morton)
+    lw, l0 = h_w.levels[0], h_0.levels[0]
+    p = init_gmp(jax.random.PRNGKey(3), C, 2, 2)
+    x = _rand_x(lw, seed=5)
+    cot = _rand_x(lw, seed=6)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def loss(x, method, win):
+        lvl = lw if win else l0
+        return jnp.vdot(gmp_apply(p, lvl, x, None, method),
+                        cot[: lvl.n_pad_nodes])
+
+    n = lw.n_nodes
+    out_w = np.asarray(jax.jit(
+        lambda v: gmp_apply(p, lw, v, None, "fused"))(x))
+    out_e = np.asarray(jax.jit(
+        lambda v: gmp_apply(p, l0, v, None, "ell"))(x[: l0.n_pad_nodes]))
+    np.testing.assert_allclose(out_w[:n], out_e[:n], rtol=5e-5, atol=1e-5)
+
+    g_w = np.asarray(jax.grad(loss)(x, "fused", True))
+    g_e = np.asarray(jax.grad(loss)(x[: l0.n_pad_nodes], "ell", False))
+    np.testing.assert_allclose(g_w[:n], g_e[:n], rtol=1e-4, atol=1e-4)
+
+
+def test_fused_v3_under_remat():
+    """v3 custom-VJP pair must not capture outer-trace tables
+    (jax.checkpoint re-traces the forward inside the backward)."""
+    import functools
+
+    from bsms_gnn_tpu.ops.message import gmp_apply, init_gmp
+
+    h_w, _ = _setup(nx=24, ny=24, window=256)
+    lw = h_w.levels[0]
+    p = init_gmp(jax.random.PRNGKey(3), C, 2, 2)
+    x = _rand_x(lw, seed=5)
+    cot = _rand_x(lw, seed=6)
+
+    @jax.jit
+    def loss(x):
+        f = jax.checkpoint(lambda v: gmp_apply(p, lw, v, None, "fused"))
+        return jnp.vdot(f(x), cot)
+
+    @jax.jit
+    def loss_ell(x):
+        f = jax.checkpoint(lambda v: gmp_apply(p, lw, v, None, "ell"))
+        return jnp.vdot(f(x), cot)
+
+    g = np.asarray(jax.grad(loss)(x))
+    g_e = np.asarray(jax.grad(loss_ell)(x))
+    n = lw.n_nodes
+    np.testing.assert_allclose(g[:n], g_e[:n], rtol=1e-4, atol=1e-4)
