@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 11
+CACHE_VERSION = 12
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -189,8 +189,18 @@ def _pad_level(
             f"windowed layout needs n_pad multiple of {window // 2}"
         )
 
-    # Receiver-sorted real edges.
-    order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
+    # Block-grouped real edges. Within a 128-node receiver block the slot
+    # order is free (every consumer reads recv_indptr only at block
+    # granularity, [::BN]); windowed layouts sort each block's edges by
+    # SENDER so that 512-edge chunks cluster in sender space — per-chunk
+    # windows then cover 95-99% of edges at fixed W (vs 73-93% for
+    # per-block windows on the deeper bi-stride levels).
+    if window:
+        order = np.lexsort(
+            (g.flat_edges[1], g.flat_edges[0], g.flat_edges[1] // NODE_BLOCK)
+        )
+    else:
+        order = np.lexsort((g.flat_edges[0], g.flat_edges[1]))
     r_sorted = g.flat_edges[1][order]
     s_sorted = g.flat_edges[0][order]
     ec_sorted = None if ec is None else np.asarray(ec, np.float64)[order]
@@ -268,25 +278,10 @@ def _pad_level(
 
     send_win = win_base = resid_level = None
     if window:
-        # Deeper bi-stride levels connect wider neighborhoods (squared
-        # adjacency), spreading senders further along the curve — escalate
-        # the window (2x/4x base) until ≥90% of edges are covered. All
-        # candidate half-windows divide n_pad (pad_levels aligns it to
-        # 2·window).
-        best = None
-        for w in (window, 2 * window, 4 * window):
-            if n_pad % (w // 2) or n_pad < w:
-                break
-            cand = _window_tables(
-                s_sorted, r_sorted, rev_idx, slots, block_starts, n, n_pad,
-                e_pad, w, edge_block, ec_sorted, lvl_pos,
-            )
-            if best is None or cand[3] > best[3]:
-                best = cand
-                window = w
-            if best[3] >= 0.9:
-                break
-        send_win, win_base, resid_level, _ = best
+        send_win, win_base, resid_level = _window_tables(
+            senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
+            edge_block, n, lvl_pos,
+        )
     return LevelGraph(
         senders=senders,
         receivers=receivers,
@@ -311,73 +306,67 @@ def _pad_level(
 
 
 def _window_tables(
-    s_sorted: np.ndarray,
-    r_sorted: np.ndarray,
-    rev_idx: np.ndarray,
-    slots: np.ndarray,
-    block_starts: np.ndarray,
-    n: int,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    reverse_perm: np.ndarray,
+    ew: np.ndarray,
     n_pad: int,
-    e_pad: int,
     window: int,
     edge_block: int,
-    ec_sorted: Optional[np.ndarray],
+    n: int,
     lvl_pos: Optional[np.ndarray],
 ):
-    """Per-receiver-block aligned source windows for the windowed one-hot
-    gather kernel (ops/pallas/windowed.py).
+    """Per-CHUNK aligned source windows for the windowed one-hot gather
+    kernel (ops/pallas/windowed.py).
 
-    For each 128-node receiver block, pick the W-row window (base aligned to
-    W/2) covering the most of its senders. Edges whose sender falls outside
-    (or whose reverse twin does — coverage is symmetrized so the residual
-    edge set stays symmetric) go to a mini residual LevelGraph over the same
-    padded node space, handled by the standard gather/segment paths. With
-    Morton-ordered nodes (graph/order.py) coverage is typically ≥90%."""
+    Each `edge_block`-slot chunk picks the W-row window (base aligned to
+    W/2) covering the most of its senders — blocks are sender-sorted
+    internally (see _pad_level), so chunks cluster tightly in sender space
+    and fixed-W coverage stays high even on the deep bi-stride levels whose
+    squared-adjacency neighborhoods span wide id ranges. Edges left outside
+    (or whose reverse twin is — coverage is symmetrized so the residual set
+    stays symmetric) go to a mini residual LevelGraph over the same padded
+    node space, handled by the standard gather/segment paths. With
+    Morton-ordered nodes (graph/order.py) coverage is typically ≥95%."""
     wh = window // 2
-    nblocks = n_pad // NODE_BLOCK
-    blk = r_sorted // NODE_BLOCK  # non-decreasing (receiver-sorted)
-    grain = s_sorted // wh
-    starts = np.searchsorted(blk, np.arange(nblocks + 1))
+    e_pad = len(senders)
+    num_chunks = e_pad // edge_block
     max_base = n_pad // wh - 2
-    base = np.zeros(nblocks, np.int64)
-    for b in range(nblocks):
-        seg = grain[starts[b] : starts[b + 1]]
-        if len(seg) == 0:
+    real = edge_mask > 0
+    s64 = senders.astype(np.int64)
+    base = np.zeros(num_chunks, np.int64)
+    s_chunks = s64.reshape(num_chunks, edge_block)
+    r_chunks = real.reshape(num_chunks, edge_block)
+    for i in range(num_chunks):
+        s_i = s_chunks[i][r_chunks[i]]
+        if len(s_i) == 0:
             continue
-        cand = np.concatenate([seg - 1, seg])
+        gr = s_i // wh
+        cand = np.concatenate([gr - 1, gr])
         cand = cand[(cand >= 0) & (cand <= max_base)]
         if len(cand) == 0:
-            base[b] = min(max(int(seg[0]) - 1, 0), max_base)
+            base[i] = min(max(int(gr[0]) - 1, 0), max_base)
             continue
         vals, cnts = np.unique(cand, return_counts=True)
-        base[b] = vals[np.argmax(cnts)]
+        base[i] = vals[np.argmax(cnts)]
 
-    lo = base[blk] * wh
-    covered = (s_sorted >= lo) & (s_sorted < lo + window)
-    covered &= covered[rev_idx]  # symmetrize
+    lo = np.repeat(base, edge_block) * wh
+    covered = real & (s64 >= lo) & (s64 < lo + window)
+    covered &= covered[reverse_perm]  # symmetrize
 
-    send_win = np.full(e_pad, window, np.int32)  # sentinel: out-of-window
-    send_win[slots[covered]] = (s_sorted[covered] - lo[covered]).astype(
-        np.int32
-    )
-
-    num_chunks = e_pad // edge_block
-    chunk_offs = np.arange(num_chunks, dtype=np.int64) * edge_block
-    chunk_blk = np.searchsorted(block_starts[1:], chunk_offs, side="right")
-    chunk_blk = np.minimum(chunk_blk, nblocks - 1)
-    win_base = base[chunk_blk].astype(np.int32)
+    send_win = np.where(covered, s64 - lo, window).astype(np.int32)
+    win_base = base.astype(np.int32)
 
     resid_level = None
-    if not covered.all():
-        m = ~covered
-        redges = np.stack([s_sorted[m], r_sorted[m]]).astype(np.int64)
-        rec = None if ec_sorted is None else ec_sorted[m]
+    m = real & ~covered
+    if m.any():
+        redges = np.stack([s64[m], receivers.astype(np.int64)[m]])
         resid_level = _pad_level(
-            CsrGraph(redges, n), n_pad, 0, rec, lvl_pos,
+            CsrGraph(redges, n), n_pad, 0, ew[m], lvl_pos,
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
         )
-    coverage = covered.sum() / max(len(covered), 1)
-    return send_win, win_base, resid_level, coverage
+    return send_win, win_base, resid_level
 
 
 def build_hierarchy(
@@ -420,9 +409,7 @@ def pad_levels(
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
     if window:
-        # Multiple of 2·window so every escalated half-window (W, 2W, 4W
-        # → wh up to 2·window) divides n_pad.
-        node_multiple = _pad_to(node_multiple, 2 * window)
+        node_multiple = _pad_to(node_multiple, window // 2)
     n_pads = []
     e_pads = []
     for l, g in enumerate(graphs):
