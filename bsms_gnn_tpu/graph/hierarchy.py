@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 12
+CACHE_VERSION = 13
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -116,6 +116,12 @@ class LevelGraph:
     resid: Optional["LevelGraph"] = None
     # Source-window row count (0 = windowed layout not built).
     window: int = struct.field(pytree_node=False, default=0)
+    # True when the layout drops the one-chunk-per-block minimum: node
+    # blocks with no edges get NO slots, so the plain segment kernels
+    # (which zero each visited output block) would leave unvisited blocks
+    # undefined — only the ACCUMULATE kernels (segment_sum_accum*, output
+    # aliased onto an existing array) may aggregate on such layouts.
+    skip_empty: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_pad_nodes(self) -> int:
@@ -178,7 +184,7 @@ def layout_edge_count(
 def _pad_level(
     g: CsrGraph, n_pad: int, e_pad_min: int, ec: Optional[np.ndarray] = None,
     lvl_pos: Optional[np.ndarray] = None, edge_block: int = EDGE_BLOCK,
-    window: int = 0,
+    window: int = 0, min_chunks: bool = True,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -217,7 +223,8 @@ def _pad_level(
     # output block is visited by the Pallas kernel).
     recv_counts = np.bincount(r_sorted, minlength=n_pad)
     block_counts = recv_counts.reshape(-1, NODE_BLOCK).sum(axis=1)
-    seg_lens = -(-np.maximum(block_counts, 1) // edge_block) * edge_block
+    min_per_block = np.maximum(block_counts, 1) if min_chunks else block_counts
+    seg_lens = -(-min_per_block // edge_block) * edge_block
     e_layout = int(seg_lens.sum())
     e_pad = max(e_layout, -(-e_pad_min // edge_block) * edge_block)
 
@@ -302,6 +309,7 @@ def _pad_level(
         win_base=win_base,
         resid=resid_level,
         window=window,
+        skip_empty=not min_chunks,
     )
 
 
@@ -362,9 +370,12 @@ def _window_tables(
     m = real & ~covered
     if m.any():
         redges = np.stack([s64[m], receivers.astype(np.int64)[m]])
+        # skip-empty layout: blocks with no residual edges get no slots
+        # (aggregation must go through the accumulate kernels).
         resid_level = _pad_level(
             CsrGraph(redges, n), n_pad, 0, ew[m], lvl_pos,
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
+            min_chunks=False,
         )
     return send_win, win_base, resid_level
 
@@ -505,7 +516,8 @@ def _level_arrays(prefix: str, g: LevelGraph, arrays: dict) -> None:
     arrays[f"{prefix}_ew"] = g.ew
     arrays[f"{prefix}_fiber"] = g.fiber
     arrays[f"{prefix}_meta"] = np.array(
-        [g.n_nodes, g.n_edges, g.edge_block, g.window], dtype=np.int64
+        [g.n_nodes, g.n_edges, g.edge_block, g.window, int(g.skip_empty)],
+        dtype=np.int64,
     )
     if g.send_win is not None:
         arrays[f"{prefix}_send_win"] = g.send_win
@@ -543,6 +555,7 @@ def _level_from_arrays(prefix: str, z) -> LevelGraph:
             else None
         ),
         window=int(meta[3]) if meta.size > 3 else 0,
+        skip_empty=bool(meta[4]) if meta.size > 4 else False,
     )
 
 

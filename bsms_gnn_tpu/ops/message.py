@@ -116,6 +116,8 @@ def gmp_apply(
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
         )
         if aggr is not None and level.resid is not None:
+            from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+
             r = level.resid
             pre_r = (
                 gather_send(r, xwi, "pallas")
@@ -124,7 +126,10 @@ def gmp_apply(
                         params.mlp_edge.biases[0], compute_dtype)
             )
             e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
-            aggr = aggr + aggregate_recv(r, e_r, "pallas")
+            acc = segment_sum_accum(r, e_r, aggr)
+            aggr = acc if acc is not None else aggr + aggregate_recv(
+                r, e_r, "ell"
+            )
         if aggr is None:
             # v2 fused edge phase: the sender side streams (XLA gather),
             # receiver transform gathered in-kernel.
@@ -227,8 +232,10 @@ def _gathered_conv(level: LevelGraph, x, ew):
 def _windowed_conv(level: LevelGraph, x, ew, up: bool):
     """Gather-free windowed path (ops/pallas/windowed.py), or None when the
     layout has no window tables. The mini residual level carries the
-    out-of-window edges through the gathered path; both sub-layouts share
-    the padded node space so the sums add."""
+    out-of-window edges; it is a skip-empty layout, so its messages
+    ACCUMULATE onto the windowed output in-place (aliased kernel) instead
+    of paying one chunk per empty node block."""
+    from bsms_gnn_tpu.ops.pallas import segment_sum_accum_raw
     from bsms_gnn_tpu.ops.pallas.windowed import windowed_conv_raw
 
     out = windowed_conv_raw(level, x, ew)
@@ -237,7 +244,9 @@ def _windowed_conv(level: LevelGraph, x, ew, up: bool):
     r = level.resid
     if r is not None:
         ew_r = (r.ew_rev if up else r.ew).astype(x.dtype)
-        out = out + _gathered_conv(r, x, ew_r)
+        msg = jnp.take(x, r.senders, axis=-2) * ew_r[..., None]
+        out2 = segment_sum_accum_raw(r, msg, out)
+        out = out2 if out2 is not None else out + _gathered_conv(r, x, ew_r)
     return out.astype(x.dtype)
 
 

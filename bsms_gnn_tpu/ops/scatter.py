@@ -138,16 +138,33 @@ def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):
 
     def bwd(lvl, ct):
         from bsms_gnn_tpu.ops.pallas import (
+            segment_sum_accum_raw,
+            segment_sum_accum_send_raw,
             segment_sum_pallas,
             segment_sum_send_pallas,
         )
 
         if to_sender:
             out = segment_sum_send_pallas(lvl, ct)
+            if out is None and getattr(lvl, "skip_empty", False):
+                # skip-empty layouts (residual sub-levels): accumulate onto
+                # zeros — the plain kernel would leave empty blocks
+                # undefined, and the ELL fallback materializes [N, K, C].
+                zeros = jnp.zeros(
+                    ct.shape[:-2] + (lvl.n_pad_nodes, ct.shape[-1]),
+                    jnp.float32,
+                )
+                out = segment_sum_accum_send_raw(lvl, ct, zeros)
             if out is None:
                 out = _ell_sum(ct, lvl.send_ell)
         else:
             out = segment_sum_pallas(lvl, ct)
+            if out is None and getattr(lvl, "skip_empty", False):
+                zeros = jnp.zeros(
+                    ct.shape[:-2] + (lvl.n_pad_nodes, ct.shape[-1]),
+                    jnp.float32,
+                )
+                out = segment_sum_accum_raw(lvl, ct, zeros)
             if out is None:
                 out = _ell_sum(ct, lvl.recv_ell)
         return None, out.astype(in_dtype)

@@ -272,3 +272,51 @@ def test_fused_v3_under_remat():
     g_e = np.asarray(jax.grad(loss_ell)(x))
     n = lw.n_nodes
     np.testing.assert_allclose(g[:n], g_e[:n], rtol=1e-4, atol=1e-4)
+
+
+def test_skip_empty_resid_and_accum_kernel():
+    """Residual sub-levels are skip-empty (no slots for empty node blocks);
+    the accumulate kernel must add their contribution exactly and the plain
+    segment kernel must refuse them."""
+    from bsms_gnn_tpu.ops.pallas import (
+        segment_sum_accum,
+        segment_sum_accum_raw,
+        segment_sum_raw,
+    )
+
+    h_w, _ = _setup(morton=False)  # scrambled: big residual
+    r = h_w.levels[0].resid
+    assert r is not None and r.skip_empty
+    # skip-empty layouts drop the one-chunk-per-block minimum: the padded
+    # size is exactly the per-NONEMPTY-block chunk round-up.
+    counts = np.bincount(np.asarray(r.receivers)[np.asarray(r.edge_mask) > 0],
+                         minlength=r.n_pad_nodes)
+    blocks = counts.reshape(-1, 128).sum(axis=1)
+    eb = r.edge_block
+    assert r.n_pad_edges == int((-(-blocks // eb) * eb).sum())
+    assert segment_sum_raw(r, jnp.zeros((r.n_pad_edges, C))) is None
+
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(
+        rng.standard_normal((r.n_pad_edges, C)).astype(np.float32)
+        * np.asarray(r.edge_mask)[:, None]
+    )
+    acc = jnp.asarray(
+        rng.standard_normal((r.n_pad_nodes, C)).astype(np.float32)
+    )
+    out = np.asarray(segment_sum_accum_raw(r, feat, acc))
+    # oracle: np.add.at
+    exp = np.asarray(acc).copy()
+    np.add.at(exp, np.asarray(r.receivers), np.asarray(feat))
+    np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-5)
+
+    # differentiable wrapper: d_acc = g, d_feat = g[receivers]
+    def loss(f, a):
+        return jnp.sum(segment_sum_accum(r, f, a) ** 2)
+
+    gf, ga = jax.grad(loss, argnums=(0, 1))(feat, acc)
+    g_out = 2 * out
+    np.testing.assert_allclose(np.asarray(ga), g_out, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf), g_out[np.asarray(r.receivers)], rtol=1e-5, atol=1e-5
+    )
