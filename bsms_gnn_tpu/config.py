@@ -51,6 +51,12 @@ class DatasetConfig:
     # bucketing (1 = one dataset-wide max bucket; >1 stops small meshes
     # paying for the largest — one compiled program per group).
     size_buckets: int = 1
+    # Windowed-gather layout (ops/pallas/windowed.py): >0 Morton-reorders
+    # each trajectory's mesh at ingest and builds per-chunk source windows
+    # of this row count, making the conv/GMP sender gathers run in-kernel
+    # (recommended 512 for >100k-node meshes; requires consistent-mesh
+    # unbucketed datasets). 0 = off.
+    window: int = 0
 
 
 @dataclass

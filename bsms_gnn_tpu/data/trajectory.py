@@ -52,6 +52,34 @@ class TrajectoryReader:
         # Input cannot be the last frame (no target), ref base.py:44.
         self.length = fields["mesh_pos"].shape[0] - 1
 
+        # Windowed-gather layouts need spatially coherent node ids: Morton-
+        # reorder the mesh at ingest (model outputs are then in reordered
+        # node space; `node_perm` maps new id → original id for export).
+        self.node_perm: Optional[np.ndarray] = None
+        if cfg.window:
+            if node_buckets is not None or edge_buckets is not None:
+                raise ValueError(
+                    "datasets.window requires a consistent-mesh, unbucketed "
+                    "dataset (shape bucketing relabels nothing)"
+                )
+            from bsms_gnn_tpu.graph.order import morton_perm
+
+            perm = morton_perm(self.mesh_pos0)
+            inv = np.empty(len(perm), np.int64)
+            inv[perm] = np.arange(len(perm))
+            self.node_perm = perm
+            self.cells = inv[self.cells.astype(np.int64)].astype(
+                self.cells.dtype
+            )
+            for name, arr in fields.items():
+                if (
+                    name != "cells"
+                    and arr.ndim >= 2
+                    and arr.shape[1] == self.n_nodes
+                ):
+                    fields[name] = arr[:, perm]
+            self.mesh_pos0 = np.asarray(fields["mesh_pos"][0], np.float64)
+
         cache_dir = os.path.dirname(file_path)
         cache_name = (
             "shared"
@@ -70,6 +98,7 @@ class TrajectoryReader:
             node_buckets=node_buckets,
             edge_buckets=edge_buckets,
             edge_block=cfg.edge_block,
+            window=cfg.window,
         )
         self.n_pad = self.hierarchy.levels[0].n_pad_nodes
 
