@@ -750,8 +750,11 @@ def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
                 dxj.astype(xj.dtype), dw, db)
 
     run.defvjp(fwd, bwd)
-    if zif.ndim == 3:
-        return jax.vmap(run, in_axes=(None, 0, 0, 0, None, None))(
+    axes = tuple(0 if a.ndim == 3 else None for a in (zif, xwi, xj))
+    if any(ax == 0 for ax in axes):
+        # Batched mode; the static fiber term zif is usually UNBATCHED
+        # (shared mesh) while x-derived streams carry the batch axis.
+        return jax.vmap(run, in_axes=(None, *axes, None, None))(
             level, zif, xwi, xj, w_stack, b_stack
         )
     return run(level, zif, xwi, xj, w_stack, b_stack)

@@ -379,3 +379,56 @@ def test_dataset_window_config_end_to_end(tmp_path):
     np.testing.assert_allclose(
         p_w[:n], p_0[rd_w.node_perm], rtol=5e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_trainer_fused_windowed_remat(dtype):
+    """The 1M production recipe (Trainer + aggregation=fused + windowed
+    layout + remat) end-to-end on CPU interpret kernels, batched inputs:
+    losses must track the ELL trainer closely and descend."""
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.training import Trainer
+
+    pos, cells = make_grid_mesh(16, 16)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    h_w = build_hierarchy(edges, 2, pos.shape[0], pos, window=256)
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+
+    def ov(agg):
+        return load_config([
+            "model.unet_depth=2", "model.latent_dim=128",
+            "model.hidden_layer=1", "model.accumulation_steps=1",
+            f"model.aggregation={agg}", "model.remat=true",
+            f"model.compute_dtype={dtype}",
+            "datasets.noise_level=[0.0,0.0,0.0]",
+            "opt.warmup_steps=2", "opt.decay_steps=30",
+        ])
+
+    def data(h):
+        n = pos.shape[0]
+        n_pad = h.levels[0].n_pad_nodes
+        rng = np.random.default_rng(3)
+        c = 3
+        ni = np.zeros((2, n_pad, c + 3), np.float32)
+        ni[:, :n, :c] = rng.standard_normal((2, n, c))
+        ni[:, :n, c:c + 2] = pos
+        nt = np.zeros((2, n_pad, c), np.float32)
+        nt[:, :n] = ni[:, :n, :c] + 0.1 * np.sin(pos[None, :, :1])
+        m = np.zeros((2, n_pad, 1), np.float32)
+        m[:, :n] = 1.0
+        return jnp.asarray(ni), jnp.asarray(nt), jnp.asarray(m)
+
+    losses = {}
+    for agg, h in (("fused", h_w), ("ell", h_0)):
+        tr = Trainer(ov(agg))
+        ni, nt, m = data(h)
+        key = jax.random.PRNGKey(7)
+        losses[agg] = [
+            float(tr.iter(h, ni, nt, m, jax.random.fold_in(key, i)))
+            for i in range(8)
+        ]
+    tol = 5e-3 if dtype == "float32" else 1e-1
+    np.testing.assert_allclose(losses["fused"], losses["ell"], rtol=tol,
+                               atol=tol)
+    assert losses["fused"][-1] < losses["fused"][2]  # post-warmup descent
