@@ -146,6 +146,76 @@ def gmp_apply(
             )
             return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
 
+    if (
+        method == "fused"
+        and len(dyn_dims) == 1
+        and pos is not None
+        and dyn_dims[0] <= c
+    ):
+        # v4 (windowed layouts + one dynamic stream — the contact cases):
+        # world positions ride the extended [N, 2C] sender/receiver tables
+        # and Δworld/‖Δworld‖ are computed in-kernel from the same one-hot
+        # selections, so the dyn path's four gathers (z_i, z_j, p_i, p_j)
+        # all disappear. World positions are stop-gradient (they never
+        # reach parameters — the dyn stream is smoothed by no-grad convs).
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase_win_dyn
+
+        wd = dyn_dims[0]
+        xwi = dense(x, wi, 0.0, compute_dtype)
+        xj = dense(x, wj, 0.0, compute_dtype)
+        wf_dyn, wf_nrm, wf_sta = wf[:wd], wf[wd], wf[wd + 1 :]
+        zif = dense(
+            static_fiber.astype(x.dtype), wf_sta, params.mlp_edge.biases[0],
+            compute_dtype,
+        )
+        wpos = jax.lax.stop_gradient(pos).astype(xwi.dtype)
+
+        def ext(a):
+            w = jnp.broadcast_to(wpos, a.shape[:-1] + (wd,))
+            padw = jnp.zeros(a.shape[:-1] + (c - wd,), a.dtype)
+            return jnp.concatenate([a, w, padw], axis=-1)
+
+        wfd_ext = jnp.zeros((c, c), jnp.float32).at[:wd].set(
+            wf_dyn.astype(jnp.float32)
+        )
+        wfn8 = jnp.zeros((8, c), jnp.float32).at[0].set(
+            wf_nrm.astype(jnp.float32)
+        )
+        aggr = fused_edge_phase_win_dyn(
+            level, zif, ext(xwi), ext(xj), wfd_ext, wfn8,
+            params.mlp_edge.weights[1:], params.mlp_edge.biases[1:], wd,
+        )
+        if aggr is not None and level.resid is not None:
+            from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+
+            r = level.resid
+            p_i = gather_send(r, wpos, "pallas")
+            p_j = gather_recv(r, wpos, "pallas")
+            dvec = p_i - p_j
+            fib_dyn = jnp.concatenate(
+                [dvec, jnp.linalg.norm(dvec, axis=-1, keepdims=True)],
+                axis=-1,
+            )
+            pre_r = (
+                gather_send(r, xwi, "pallas")
+                + gather_recv(r, xj, "pallas")
+                + dense(fib_dyn, wf[: wd + 1], 0.0, compute_dtype)
+                + dense(r.fiber.astype(x.dtype), wf_sta,
+                        params.mlp_edge.biases[0], compute_dtype)
+            )
+            e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+            acc = segment_sum_accum(r, e_r, aggr)
+            aggr = acc if acc is not None else aggr + aggregate_recv(
+                r, e_r, "ell"
+            )
+        if aggr is not None:
+            wn = params.mlp_node.weights[0]
+            node_pre = (
+                dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
+                + dense(aggr, wn[c:], 0.0, compute_dtype)
+            )
+            return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
+
     # Node-side pre-transforms, then gather the 128-lane-aligned activations.
     z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
     z_j = gather_recv(level, dense(x, wj, 0.0, compute_dtype), method)

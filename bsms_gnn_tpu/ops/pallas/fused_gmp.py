@@ -674,6 +674,203 @@ def _get_bwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _get_fwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, be: int, wh: int, wd: int,
+              pre_dtype_name: str):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wfd [C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wfn [8, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases [L, C]
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BN, c), lambda i, cb, f, wb: (cb[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _make_fwd4_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, wd),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, pre_dtype_name: str, be: int, wh: int,
+              wd: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wfd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wfn
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwfd [C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwfn [8, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # db [L, C]
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, c, c), jnp.float32),
+            pltpu.VMEM((n_layers, c), jnp.float32),
+            pltpu.VMEM((c, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_bwd4_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, wd),
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
+            jax.ShapeDtypeStruct((n_pad, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def fused_edge_phase_win_dyn(level, zif, xwi_ext, xj_ext, wfd_ext, wfn,
+                             weights: Tuple, biases: Tuple, wd: int
+                             ) -> Optional[jax.Array]:
+    """v4: the windowed fused edge phase with DYNAMIC (world-space) fibers.
+
+    zif: [E_pad, C] static fiber term (+ first bias). xwi_ext / xj_ext:
+    [N_pad, 2C], lanes [0, C) = x@W_i / x@W_j, lanes [C, C+wd) = world
+    positions, rest zero. wfd_ext: [C, C] with rows [0, wd) = the Δworld
+    rows of the first-layer weight; wfn: [8, C] row 0 = the ‖Δworld‖ row.
+    World positions must be stop-gradient at the call site (the backward
+    returns no w-lane cotangents). Returns None when unsupported."""
+    from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
+
+    if not supported(level, zif, weights) or not win_supported(level, zif):
+        return None
+    c = zif.shape[-1]
+    if xwi_ext.shape[-2:] != (level.n_pad_nodes, 2 * c):
+        return None
+    if xj_ext.shape[-2:] != (level.n_pad_nodes, 2 * c):
+        return None
+    if not (0 < wd <= c):
+        return None
+
+    n_layers = len(weights)
+    interpret = jax.default_backend() != "tpu"
+    e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
+    be = getattr(level, "edge_block", 128)
+    wh = level.window // 2
+    op_dtype = "bfloat16" if zif.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(zif.dtype).name if op_dtype == "bfloat16" else "float32"
+    w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
+    b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+    wfd32 = wfd_ext.astype(jnp.float32)
+    wfn32 = wfn.astype(jnp.float32)
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _pack_rows
+
+    def _tables(lvl):
+        chunk_block, first, recv = _chunk_tables(lvl)
+        sw = _pack_rows(lvl.send_win.astype(jnp.int32), be, e_pad // be,
+                        lvl.window)
+        return chunk_block, first, lvl.win_base.astype(jnp.int32), sw, recv
+
+    def _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
+        cb, first, wb, sw, recv = _tables(lvl)
+        call = _get_fwd4(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
+                         wh, wd, pre_dtype)
+        return call(cb, first, wb, zif.astype(pre_dtype),
+                    xwi_ext.astype(pre_dtype), xwi_ext.astype(pre_dtype),
+                    xj_ext.astype(pre_dtype), wfd, wfn, w_stack, b_stack,
+                    sw, recv)
+
+    @jax.custom_vjp
+    def run(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
+        return _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack,
+                            b_stack)
+
+    def fwd(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
+        out = _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack,
+                           b_stack)
+        return out, (lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack)
+
+    def bwd(res, g):
+        lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack = res
+        cb, first, wb, sw, recv = _tables(lvl)
+        call = _get_bwd4(e_pad, n_pad, c, n_layers, interpret, op_dtype,
+                         pre_dtype, be, wh, wd)
+        dzif, dxj_ext, dwfd, dwfn, dw, db = call(
+            cb, first, wb, zif.astype(pre_dtype), xwi_ext.astype(pre_dtype),
+            xwi_ext.astype(pre_dtype), xj_ext.astype(pre_dtype), wfd, wfn,
+            w_stack, b_stack, sw, recv, g.astype(jnp.float32),
+        )
+        from bsms_gnn_tpu.ops.pallas.segment_sum import (
+            segment_sum_raw as _ssr,
+        )
+
+        dxwi_x = _ssr(lvl, jnp.take(dzif, lvl.reverse_perm, axis=-2))
+        dxwi_ext = jnp.concatenate(
+            [dxwi_x.astype(xwi_ext.dtype),
+             jnp.zeros_like(dxwi_x).astype(xwi_ext.dtype)], axis=-1
+        )
+        return (None, dzif.astype(zif.dtype), dxwi_ext,
+                dxj_ext.astype(xj_ext.dtype), dwfd.astype(wfd.dtype),
+                dwfn.astype(wfn.dtype), dw, db)
+
+    run.defvjp(fwd, bwd)
+    axes = tuple(
+        0 if a.ndim == 3 else None for a in (zif, xwi_ext, xj_ext)
+    )
+    if any(ax == 0 for ax in axes):
+        return jax.vmap(run, in_axes=(None, *axes, None, None, None, None))(
+            level, zif, xwi_ext, xj_ext, wfd32, wfn32, w_stack, b_stack
+        )
+    return run(level, zif, xwi_ext, xj_ext, wfd32, wfn32, w_stack, b_stack)
+
+
 def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
                          ) -> Optional[jax.Array]:
     """v3: aggregate_recv(LN(MLP_tail(relu(zif + xwi[senders] +
@@ -758,6 +955,156 @@ def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
             level, zif, xwi, xj, w_stack, b_stack
         )
     return run(level, zif, xwi, xj, w_stack, b_stack)
+
+
+def _make_fwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
+    """v4: v3 plus DYNAMIC (world-space) edge fibers, for the contact cases
+    (reference README.md:10). The sender/receiver streams ride EXTENDED
+    [N, 2C] tables: lanes [0, C) carry the x transforms, lanes [C, C+wd)
+    the world positions (zero-padded to a full lane group so all slicing is
+    128-aligned). Δworld and ‖Δworld‖ are computed in-kernel from the same
+    one-hot selections that fetch the x parts — the unfused path's four
+    gathers (z_i, z_j, p_i, p_j) all disappear. World positions are
+    stop-gradient (they never reach parameters: the dyn stream is smoothed
+    by no-grad transition convs), so the backward owes no w-lane
+    cotangents."""
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
+               xj_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref, recv_ref,
+               out_ref):
+        i = pl.program_id(0)
+        base_row = cb_ref[i] * BN
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        row = jax.lax.rem(i, 8)
+        sw = sw_ref[pl.ds(row, 1), :]
+        c = out_ref.shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        oh_a = (iota_w == sw).astype(jnp.bfloat16)
+        oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+        sel = _select(oh_a, xwia_ref[:], f32_mode, 2 * c, be) + _select(
+            oh_b, xwib_ref[:], f32_mode, 2 * c, be
+        )  # [BE, 2C]
+
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)
+        zjf = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
+
+        dwv = sel[:, c:] - zjf[:, c:]  # [BE, C], lanes >= wd are zero
+        nrm = jnp.sqrt(jnp.sum(dwv * dwv, axis=-1, keepdims=True))
+        pre = (
+            zif_ref[:].astype(jnp.float32)
+            + sel[:, :c]
+            + zjf[:, :c]
+            + _dot(dwv, wfd_ref[:], op_dtype)
+            + nrm * wfn_ref[pl.ds(0, 1), :]
+        )
+        e = _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype)
+        masked = jnp.where(sw < 2 * wh, onehot, 0.0)
+        out_ref[:] += _dot(masked, e, op_dtype)
+
+    return kernel
+
+
+def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
+               xj_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref, recv_ref,
+               g_node_ref, dzif_ref, dxj_ref, dwfd_ref, dwfn_ref, dw_ref,
+               db_ref, dw_acc, db_acc, dwfd_acc, dwfn_acc):
+        i = pl.program_id(0)
+        nc = pl.num_programs(0)
+        base_row = cb_ref[i] * BN
+
+        @pl.when(i == 0)
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
+            dwfd_acc[:] = jnp.zeros_like(dwfd_acc)
+            dwfn_acc[:] = jnp.zeros_like(dwfn_acc)
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            dxj_ref[:] = jnp.zeros_like(dxj_ref)
+
+        row = jax.lax.rem(i, 8)
+        sw = sw_ref[pl.ds(row, 1), :]
+        c = dzif_ref.shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        oh_a = (iota_w == sw).astype(jnp.bfloat16)
+        oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+        sel = _select(oh_a, xwia_ref[:], f32_mode, 2 * c, be) + _select(
+            oh_b, xwib_ref[:], f32_mode, 2 * c, be
+        )
+
+        r_local = recv_ref[pl.ds(row, 1), :] - base_row
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        onehot = (node_iota == r_local).astype(jnp.float32)
+        masked = jnp.where(sw < 2 * wh, onehot, 0.0)
+        zjf = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
+
+        dwv = sel[:, c:] - zjf[:, c:]
+        nrm = jnp.sqrt(jnp.sum(dwv * dwv, axis=-1, keepdims=True))
+        pre = (
+            zif_ref[:].astype(jnp.float32)
+            + sel[:, :c]
+            + zjf[:, :c]
+            + _dot(dwv, wfd_ref[:], op_dtype)
+            + nrm * wfn_ref[pl.ds(0, 1), :]
+        )
+        h = jnp.maximum(pre, 0.0)
+        hs = [h]
+        for l in range(n_layers - 1):
+            h = jnp.maximum(
+                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
+            )
+            hs.append(h)
+        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
+        normed, inv = _layer_norm_fwd(out)
+
+        g = _dot_t(masked, g_node_ref[:].astype(jnp.float32), op_dtype)
+        g_mean = jnp.mean(g, axis=-1, keepdims=True)
+        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
+        dout = (g - g_mean - normed * gn_mean) * inv
+
+        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
+        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
+        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
+        for l in range(n_layers - 2, -1, -1):
+            dh = dh * (hs[l + 1] > 0.0)
+            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
+            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
+            dh = _dot_nt(dh, w_ref[l], op_dtype)
+        dpre = dh * (pre > 0.0)
+
+        # Dynamic-fiber weight gradients (the fiber VALUES are
+        # stop-gradient, so no w-lane cotangents are owed).
+        dwfd_acc[:] += _dot_t(dwv, dpre, op_dtype)
+        dwfn_acc[pl.ds(0, 1), :] += jnp.sum(nrm * dpre, axis=0, keepdims=True)
+
+        dzif_ref[:] = dpre.astype(dzif_ref.dtype)
+        dxj_ref[:, :c] += _dot(onehot, dpre, op_dtype)
+
+        @pl.when(i == nc - 1)
+        def _():
+            dw_ref[:] = dw_acc[:]
+            db_ref[:] = db_acc[:]
+            dwfd_ref[:] = dwfd_acc[:]
+            dwfn_ref[:] = dwfn_acc[:]
+
+    return kernel
 
 
 def fused_edge_phase(level, zi, xj, weights: Tuple, biases: Tuple

@@ -432,3 +432,50 @@ def test_trainer_fused_windowed_remat(dtype):
     np.testing.assert_allclose(losses["fused"], losses["ell"], rtol=tol,
                                atol=tol)
     assert losses["fused"][-1] < losses["fused"][2]  # post-warmup descent
+
+
+@pytest.mark.parametrize("morton", [True, False])
+def test_fused_v4_dyn_gmp_matches_ell(morton):
+    """v4 (windowed + dynamic world-space fibers, both gathers + Δworld in
+    kernel) equals the ELL dyn path — forward, x-grads, and param grads.
+    World positions are stop-gradient in v4 (data, never reach params)."""
+    import functools
+
+    from bsms_gnn_tpu.ops.message import gmp_apply, init_gmp
+
+    h_w, h_0 = _setup(morton=morton)
+    lw, l0 = h_w.levels[0], h_0.levels[0]
+    wd = 3
+    p = init_gmp(jax.random.PRNGKey(3), C, 2, 2, fiber_dims=(wd, 2))
+    x = _rand_x(lw, seed=5)
+    cot = _rand_x(lw, seed=6)
+    rng = np.random.default_rng(9)
+    wp = np.zeros((lw.n_pad_nodes, wd), np.float32)
+    wp[: lw.n_nodes] = rng.standard_normal((lw.n_nodes, wd))
+    wp = jnp.asarray(wp)
+
+    def loss(x, p_, lvl, method):
+        return jnp.vdot(
+            gmp_apply(p_, lvl, x, wp[: lvl.n_pad_nodes], method, None, (wd,)),
+            cot[: lvl.n_pad_nodes],
+        )
+
+    n = lw.n_nodes
+    out_w = np.asarray(jax.jit(
+        lambda v: gmp_apply(p, lw, v, wp, "fused", None, (wd,)))(x))
+    out_e = np.asarray(jax.jit(
+        lambda v: gmp_apply(p, l0, v, wp[: l0.n_pad_nodes], "ell", None,
+                            (wd,)))(x[: l0.n_pad_nodes]))
+    np.testing.assert_allclose(out_w[:n], out_e[:n], rtol=5e-5, atol=1e-5)
+
+    g_w = jax.grad(loss, argnums=(0, 1))(x, p, lw, "fused")
+    g_e = jax.grad(loss, argnums=(0, 1))(x[: l0.n_pad_nodes], p, l0, "ell")
+    np.testing.assert_allclose(
+        np.asarray(g_w[0])[:n], np.asarray(g_e[0])[:n], rtol=2e-4, atol=2e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_w[1]), jax.tree_util.tree_leaves(g_e[1])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
