@@ -479,3 +479,54 @@ def test_fused_v4_dyn_gmp_matches_ell(morton):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_trainer_world_edges_fused_windowed():
+    """Contact-case production recipe: Trainer + world_edges + fused v4 +
+    windowed layout; losses track the ELL trainer and descend."""
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.training import Trainer
+
+    pos, cells = make_grid_mesh(14, 14)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    h_w = build_hierarchy(edges, 2, pos.shape[0], pos, window=256)
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+
+    def ov(agg):
+        return load_config([
+            "model.unet_depth=2", "model.latent_dim=128",
+            "model.hidden_layer=1", "model.accumulation_steps=1",
+            f"model.aggregation={agg}", "model.world_edges=true",
+            "model.out_dim=3", "model.world_dim=3",
+            "datasets.noise_level=[0.0,0.0,0.0]",
+            "opt.warmup_steps=2", "opt.decay_steps=30",
+        ])
+
+    def data(h):
+        n = pos.shape[0]
+        n_pad = h.levels[0].n_pad_nodes
+        rng = np.random.default_rng(3)
+        c = 3  # world_pos channels
+        ni = np.zeros((1, n_pad, c + 3), np.float32)
+        ni[:, :n, :2] = pos  # world x,y = mesh pos
+        ni[:, :n, 2] = 0.05 * rng.standard_normal(n)  # world z
+        ni[:, :n, c:c + 2] = pos
+        nt = np.asarray(ni[..., :c])
+        nt[:, :n, 2] += 0.1 * np.sin(pos[:, 0])
+        m = np.zeros((1, n_pad, 1), np.float32)
+        m[:, :n] = 1.0
+        return jnp.asarray(ni), jnp.asarray(nt), jnp.asarray(m)
+
+    losses = {}
+    for agg, h in (("fused", h_w), ("ell", h_0)):
+        tr = Trainer(ov(agg))
+        ni, nt, m = data(h)
+        key = jax.random.PRNGKey(7)
+        losses[agg] = [
+            float(tr.iter(h, ni, nt, m, jax.random.fold_in(key, i)))
+            for i in range(8)
+        ]
+    np.testing.assert_allclose(losses["fused"], losses["ell"], rtol=5e-3,
+                               atol=5e-3)
+    assert losses["fused"][-1] < losses["fused"][2]
