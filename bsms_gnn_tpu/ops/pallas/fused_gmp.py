@@ -47,16 +47,48 @@ def _layer_norm_fwd(x):
 
 def _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype):
     """relu(pre) → hidden Linear+ReLU layers → final Linear → LN."""
+    normed, _, _ = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers, op_dtype)
+    return normed
+
+
+def _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers, op_dtype):
+    """As `_mlp_chunk_fwd`, also returning the per-layer inputs `hs` and
+    the LN inverse-std — the recompute step shared by every fused backward
+    kernel (remat-in-kernel)."""
     import jax.experimental.pallas as pl
 
     h = jnp.maximum(pre, 0.0)
+    hs = [h]
     for l in range(n_layers - 1):
         h = jnp.maximum(
             _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
         )
+        hs.append(h)
     out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
-    normed, _ = _layer_norm_fwd(out)
-    return normed
+    normed, inv = _layer_norm_fwd(out)
+    return normed, inv, hs
+
+
+def _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers, op_dtype,
+                   dw_acc, db_acc):
+    """Transpose chain of `_mlp_chunk_fwd` for one chunk: non-affine LN
+    backward, tail layers in reverse (accumulating dW/db into VMEM
+    scratch), then the leading ReLU — returns dpre."""
+    import jax.experimental.pallas as pl
+
+    g_mean = jnp.mean(g, axis=-1, keepdims=True)
+    gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
+    dout = (g - g_mean - normed * gn_mean) * inv
+
+    dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
+    db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
+    dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
+    for l in range(n_layers - 2, -1, -1):
+        dh = dh * (hs[l + 1] > 0.0)
+        dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
+        db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
+        dh = _dot_nt(dh, w_ref[l], op_dtype)
+    return dh * (pre > 0.0)
 
 
 def _dot(a, b, op_dtype=jnp.float32):
@@ -1064,30 +1096,12 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
             + _dot(dwv, wfd_ref[:], op_dtype)
             + nrm * wfn_ref[pl.ds(0, 1), :]
         )
-        h = jnp.maximum(pre, 0.0)
-        hs = [h]
-        for l in range(n_layers - 1):
-            h = jnp.maximum(
-                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
-            )
-            hs.append(h)
-        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
-        normed, inv = _layer_norm_fwd(out)
+        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
+                                              op_dtype)
 
         g = _dot_t(masked, g_node_ref[:].astype(jnp.float32), op_dtype)
-        g_mean = jnp.mean(g, axis=-1, keepdims=True)
-        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
-        dout = (g - g_mean - normed * gn_mean) * inv
-
-        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
-        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
-        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
-        for l in range(n_layers - 2, -1, -1):
-            dh = dh * (hs[l + 1] > 0.0)
-            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
-            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_nt(dh, w_ref[l], op_dtype)
-        dpre = dh * (pre > 0.0)
+        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
+                              op_dtype, dw_acc, db_acc)
 
         # Dynamic-fiber weight gradients (the fiber VALUES are
         # stop-gradient, so no w-lane cotangents are owed).
