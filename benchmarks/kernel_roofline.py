@@ -159,6 +159,40 @@ def main(n_nodes=5000, depth=7, c=128, iters=50):
     print(f"  fused:   {t_fused*1e6:8.1f} µs  "
           f"({flops/t_fused/1e12:.1f} TFLOP/s, "
           f"{100*flops/t_fused/1e12/mxu_tflops:.0f}% of MXU roof)")
+
+    # Windowed gather-free transition conv vs the gathered path. The
+    # gathered conv's floor is the issue-rate-bound XLA row gather
+    # (~200M rows/s on v5e — NOT bandwidth); the windowed kernel's floor is
+    # streaming: x windows in (coverage·E·C·4/avg-reuse) + out, hence the
+    # comparison is edges/s, not GB/s.
+    from bsms_gnn_tpu.graph.order import reorder_mesh
+    from bsms_gnn_tpu.ops.message import edge_conv_down
+
+    posm, cellsm, _, _ = reorder_mesh(pos, cells)
+    edgesm = to_flat_edge(cellsm, "tri")
+    hw = jax.device_put(
+        build_hierarchy(edgesm, depth, posm.shape[0],
+                        posm.astype(np.float64), window=512)
+    )
+    print(f"\ntransition conv down (windowed vs gathered), Morton mesh:")
+    for l in (0, min(2, depth)):
+        lw = hw.levels[l]
+        lg = h.levels[l]
+        xw = jnp.asarray(
+            np.random.default_rng(l).standard_normal(
+                (lw.n_pad_nodes, c)), jnp.float32)
+        xg = xw[: lg.n_pad_nodes]
+        t_win = _scan_time(
+            lambda v, lw=lw: edge_conv_down(lw, v, None, "pallas"),
+            xw, iters, pipelined_timeit)
+        t_gat = _scan_time(
+            lambda v, lg=lg: edge_conv_down(lg, v, None, "pallas"),
+            xg, iters, pipelined_timeit)
+        cov = 100 * (1 - (lw.resid.n_edges if lw.resid else 0) / lw.n_edges)
+        print(f"  lvl{l} E={lw.n_edges}: windowed {t_win*1e6:8.1f} µs "
+              f"({lw.n_edges/t_win/1e9:.2f} Gedges/s, cover {cov:.0f}%)  "
+              f"gathered {t_gat*1e6:8.1f} µs "
+              f"({lg.n_edges/t_gat/1e9:.2f} Gedges/s)")
     return results
 
 
