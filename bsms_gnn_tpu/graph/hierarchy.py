@@ -122,6 +122,12 @@ class LevelGraph:
     # undefined — only the ACCUMULATE kernels (segment_sum_accum*, output
     # aliased onto an existing array) may aggregate on such layouts.
     skip_empty: bool = struct.field(pytree_node=False, default=False)
+    # Component-major static fiber [8, E_pad] f32 (rows [0, pd1) = fiber
+    # components, row pd1 = constant 1.0 carrying the first bias, rest 0) —
+    # derived from `fiber` at build/load, never stored. Lets the fused
+    # kernels compute the fiber term as a [8,BE]ᵀ×[8,C] MXU dot from a
+    # 32 B/edge stream instead of materializing the [E, C] term in HBM.
+    fiber_t: Optional[np.ndarray] = None
 
     @property
     def n_pad_nodes(self) -> int:
@@ -282,6 +288,7 @@ def _pad_level(
     if fib_sorted is not None:
         fiber[slots] = fib_sorted
     ew_rev = ew[reverse_perm]
+    fiber_t = _fiber_t(fiber)
 
     send_win = win_base = resid_level = None
     if window:
@@ -310,7 +317,19 @@ def _pad_level(
         resid=resid_level,
         window=window,
         skip_empty=not min_chunks,
+        fiber_t=fiber_t,
     )
+
+
+def _fiber_t(fiber: np.ndarray) -> np.ndarray:
+    """[8, E_pad] f32 component-major fiber with a constant-1 row at index
+    pd1 (carries the edge MLP's first bias through the same dot)."""
+    e_pad, pd1 = fiber.shape
+    assert pd1 < 8
+    out = np.zeros((8, e_pad), np.float32)
+    out[:pd1] = fiber.T.astype(np.float32)
+    out[pd1] = 1.0
+    return out
 
 
 def _window_tables(
@@ -556,6 +575,7 @@ def _level_from_arrays(prefix: str, z) -> LevelGraph:
         ),
         window=int(meta[3]) if meta.size > 3 else 0,
         skip_empty=bool(meta[4]) if meta.size > 4 else False,
+        fiber_t=_fiber_t(z[f"{prefix}_fiber"]),
     )
 
 

@@ -101,18 +101,20 @@ def gmp_apply(
 
         xj = dense(x, wj, 0.0, compute_dtype)
         xwi = dense(x, wi, 0.0, compute_dtype)
-        fib_term = dense(
-            static_fiber.astype(x.dtype), wf, params.mlp_edge.biases[0],
-            compute_dtype,
-        )
-        aggr = None
         # v3 (windowed layouts): BOTH gathers move in-kernel — the sender
         # side as windowed one-hot selection, the receiver side as the
-        # transposed one-hot of the resident block. Out-of-window edges run
-        # the unfused edge phase on the mini residual layout; per-edge
-        # MLP+LN make the two aggregates exactly additive.
+        # transposed one-hot of the resident block — and the static fiber
+        # term rides the component-major [8, E] stream (wf8 rows = static
+        # wf rows + the first bias on the constant-1 fiber row).
+        # Out-of-window edges run the unfused edge phase on the mini
+        # residual layout; per-edge MLP+LN make the aggregates additive.
+        wf8 = (
+            jnp.zeros((8, c), wf.dtype)
+            .at[:sfw].set(wf)
+            .at[sfw].set(params.mlp_edge.biases[0])
+        )
         aggr = fused_edge_phase_win(
-            level, fib_term, xwi, xj,
+            level, xwi, xj, wf8,
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
         )
         if aggr is not None and level.resid is not None:
@@ -133,7 +135,10 @@ def gmp_apply(
         if aggr is None:
             # v2 fused edge phase: the sender side streams (XLA gather),
             # receiver transform gathered in-kernel.
-            zi = gather_send(level, xwi, method) + fib_term
+            zi = gather_send(level, xwi, method) + dense(
+                static_fiber.astype(x.dtype), wf,
+                params.mlp_edge.biases[0], compute_dtype,
+            )
             aggr = fused_edge_phase(
                 level, zi, xj,
                 params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
@@ -164,9 +169,11 @@ def gmp_apply(
         xwi = dense(x, wi, 0.0, compute_dtype)
         xj = dense(x, wj, 0.0, compute_dtype)
         wf_dyn, wf_nrm, wf_sta = wf[:wd], wf[wd], wf[wd + 1 :]
-        zif = dense(
-            static_fiber.astype(x.dtype), wf_sta, params.mlp_edge.biases[0],
-            compute_dtype,
+        # Static fiber rows + first bias ride the in-kernel fiber_t dot.
+        wf8 = (
+            jnp.zeros((8, c), wf.dtype)
+            .at[:sfw].set(wf_sta)
+            .at[sfw].set(params.mlp_edge.biases[0])
         )
         wpos = jax.lax.stop_gradient(pos).astype(xwi.dtype)
 
@@ -182,7 +189,7 @@ def gmp_apply(
             wf_nrm.astype(jnp.float32)
         )
         aggr = fused_edge_phase_win_dyn(
-            level, zif, ext(xwi), ext(xj), wfd_ext, wfn8,
+            level, ext(xwi), ext(xj), wf8, wfd_ext, wfn8,
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:], wd,
         )
         if aggr is not None and level.resid is not None:

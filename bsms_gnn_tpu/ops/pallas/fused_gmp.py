@@ -149,16 +149,10 @@ def _make_bwd_kernel(n_layers: int, op_dtype, be: int):
             dw_acc[:] = jnp.zeros_like(dw_acc)
             db_acc[:] = jnp.zeros_like(db_acc)
 
-        # Recompute forward, saving per-layer inputs.
-        h = jnp.maximum(pre_ref[:].astype(jnp.float32), 0.0)
-        hs = [h]
-        for l in range(n_layers - 1):
-            h = jnp.maximum(
-                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
-            )
-            hs.append(h)
-        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
-        normed, inv = _layer_norm_fwd(out)
+        # Recompute forward (remat-in-kernel), then the transpose chain.
+        pre = pre_ref[:].astype(jnp.float32)
+        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
+                                              op_dtype)
 
         # Edge cotangent: transposed one-hot gather of the node block.
         row = jax.lax.rem(c, 8)
@@ -167,24 +161,9 @@ def _make_bwd_kernel(n_layers: int, op_dtype, be: int):
         onehot_t = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
         g = _dot_t(onehot_t, g_node_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
 
-        # Non-affine LayerNorm backward.
-        g_mean = jnp.mean(g, axis=-1, keepdims=True)
-        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
-        dout = (g - g_mean - normed * gn_mean) * inv
-
-        # Final linear.
-        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
-        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
-        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
-
-        # Hidden layers in reverse.
-        for l in range(n_layers - 2, -1, -1):
-            dh = dh * (hs[l + 1] > 0.0)
-            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
-            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_nt(dh, w_ref[l], op_dtype)
-
-        dpre_ref[:] = (dh * (pre_ref[:] > 0.0)).astype(dpre_ref.dtype)
+        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
+                              op_dtype, dw_acc, db_acc)
+        dpre_ref[:] = dpre.astype(dpre_ref.dtype)
 
         @pl.when(c == nc - 1)
         def _():
@@ -373,36 +352,15 @@ def _make_bwd2_kernel(n_layers: int, op_dtype, be: int):
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
         onehot = (node_iota == r_local).astype(jnp.float32)  # [BN, BE]
 
-        # Recompute forward (remat-in-kernel), saving per-layer inputs.
+        # Recompute forward (remat-in-kernel), then the transpose chain.
         zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
         pre = zi_ref[:].astype(jnp.float32) + zj
-        h = jnp.maximum(pre, 0.0)
-        hs = [h]
-        for l in range(n_layers - 1):
-            h = jnp.maximum(
-                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
-            )
-            hs.append(h)
-        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
-        normed, inv = _layer_norm_fwd(out)
+        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
+                                              op_dtype)
 
         g = _dot_t(onehot, g_node_ref[:].astype(jnp.float32), op_dtype)  # [BE, C]
-
-        g_mean = jnp.mean(g, axis=-1, keepdims=True)
-        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
-        dout = (g - g_mean - normed * gn_mean) * inv
-
-        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
-        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
-        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
-
-        for l in range(n_layers - 2, -1, -1):
-            dh = dh * (hs[l + 1] > 0.0)
-            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
-            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_nt(dh, w_ref[l], op_dtype)
-
-        dpre = dh * (pre > 0.0)
+        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
+                              op_dtype, dw_acc, db_acc)
         dzi_ref[:] = dpre.astype(dzi_ref.dtype)
         dxj_ref[:] += _dot(onehot, dpre, op_dtype)
 
@@ -502,8 +460,8 @@ def _make_fwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
 
     from bsms_gnn_tpu.ops.pallas.windowed import _select
 
-    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
-               xj_ref, w_ref, b_ref, sw_ref, recv_ref, out_ref):
+    def kernel(cb_ref, first_ref, wb_ref, fibt_ref, xwia_ref, xwib_ref,
+               xj_ref, wf8_ref, w_ref, b_ref, sw_ref, recv_ref, out_ref):
         i = pl.program_id(0)
         base_row = cb_ref[i] * BN
 
@@ -527,7 +485,11 @@ def _make_fwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
         onehot = (node_iota == r_local).astype(jnp.float32)
 
         zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
-        pre = zif_ref[:].astype(jnp.float32) + sel + zj
+        # Static fiber term + first bias from the component-major [8, BE]
+        # stream (constant-1 row carries the bias): a tiny MXU dot replaces
+        # the [E, C] zif materialization + stream.
+        fib = _dot_t(fibt_ref[:].astype(jnp.float32), wf8_ref[:], op_dtype)
+        pre = fib + sel + zj
         e = _mlp_chunk_fwd(pre, w_ref, b_ref, n_layers, op_dtype)
         # Mask out-of-window slots (handled by the residual pass) AND pad
         # slots (sentinel too) from the scatter.
@@ -542,9 +504,10 @@ def _make_bwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
 
     from bsms_gnn_tpu.ops.pallas.windowed import _select
 
-    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
-               xj_ref, w_ref, b_ref, sw_ref, recv_ref, g_node_ref,
-               dzif_ref, dxj_ref, dw_ref, db_ref, dw_acc, db_acc):
+    def kernel(cb_ref, first_ref, wb_ref, fibt_ref, xwia_ref, xwib_ref,
+               xj_ref, wf8_ref, w_ref, b_ref, sw_ref, recv_ref, g_node_ref,
+               dpre_ref, dxj_ref, dwf8_ref, dw_ref, db_ref, dw_acc, db_acc,
+               dwf8_acc):
         i = pl.program_id(0)
         nc = pl.num_programs(0)
         base_row = cb_ref[i] * BN
@@ -553,6 +516,7 @@ def _make_bwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
         def _():
             dw_acc[:] = jnp.zeros_like(dw_acc)
             db_acc[:] = jnp.zeros_like(db_acc)
+            dwf8_acc[:] = jnp.zeros_like(dwf8_acc)
 
         @pl.when(first_ref[i] == 1)
         def _():
@@ -574,45 +538,28 @@ def _make_bwd3_kernel(n_layers: int, op_dtype, be: int, wh: int):
         onehot = (node_iota == r_local).astype(jnp.float32)
         masked = jnp.where(sw < 2 * wh, onehot, 0.0)
 
-        # Recompute forward (remat-in-kernel).
+        # Recompute forward (remat-in-kernel), then the transpose chain.
         zj = _dot_t(onehot, xj_ref[:].astype(jnp.float32), op_dtype)
-        pre = zif_ref[:].astype(jnp.float32) + sel + zj
-        h = jnp.maximum(pre, 0.0)
-        hs = [h]
-        for l in range(n_layers - 1):
-            h = jnp.maximum(
-                _dot(h, w_ref[l], op_dtype) + b_ref[pl.ds(l, 1), :], 0.0
-            )
-            hs.append(h)
-        out = _dot(h, w_ref[n_layers - 1], op_dtype) + b_ref[pl.ds(n_layers - 1, 1), :]
-        normed, inv = _layer_norm_fwd(out)
+        fibt = fibt_ref[:].astype(jnp.float32)
+        fib = _dot_t(fibt, wf8_ref[:], op_dtype)
+        pre = fib + sel + zj
+        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
+                                              op_dtype)
 
         # Masked slots get a ZERO edge cotangent (their output never
         # entered the aggregate), which zeroes their whole chain below.
         g = _dot_t(masked, g_node_ref[:].astype(jnp.float32), op_dtype)
-
-        g_mean = jnp.mean(g, axis=-1, keepdims=True)
-        gn_mean = jnp.mean(g * normed, axis=-1, keepdims=True)
-        dout = (g - g_mean - normed * gn_mean) * inv
-
-        dw_acc[n_layers - 1] += _dot_t(hs[-1], dout, op_dtype)
-        db_acc[pl.ds(n_layers - 1, 1), :] += jnp.sum(dout, axis=0, keepdims=True)
-        dh = _dot_nt(dout, w_ref[n_layers - 1], op_dtype)
-
-        for l in range(n_layers - 2, -1, -1):
-            dh = dh * (hs[l + 1] > 0.0)
-            dw_acc[l] += _dot_t(hs[l], dh, op_dtype)
-            db_acc[pl.ds(l, 1), :] += jnp.sum(dh, axis=0, keepdims=True)
-            dh = _dot_nt(dh, w_ref[l], op_dtype)
-
-        dpre = dh * (pre > 0.0)
-        dzif_ref[:] = dpre.astype(dzif_ref.dtype)
+        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
+                              op_dtype, dw_acc, db_acc)
+        dpre_ref[:] = dpre.astype(dpre_ref.dtype)
         dxj_ref[:] += _dot(onehot, dpre, op_dtype)
+        dwf8_acc[:] += _dot(fibt, dpre, op_dtype)
 
         @pl.when(i == nc - 1)
         def _():
             dw_ref[:] = dw_acc[:]
             db_ref[:] = db_acc[:]
+            dwf8_ref[:] = dwf8_acc[:]
 
     return kernel
 
@@ -627,13 +574,15 @@ def _get_fwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         num_scalar_prefetch=3,
         grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # fiber_t [8, E_pad]
             pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wf8 [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # biases [L, C]
             pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
@@ -664,13 +613,15 @@ def _get_bwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         num_scalar_prefetch=3,
         grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # fiber_t [8, E_pad]
             pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wh, c), lambda i, cb, f, wb: (wb[i] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wf8 [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
             pl.BlockSpec((8, be), lambda i, *_: (i // 8, 0), memory_space=pltpu.VMEM),
@@ -682,12 +633,14 @@ def _get_bwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
             pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwf8 [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # db [L, C]
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, c, c), jnp.float32),
             pltpu.VMEM((n_layers, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -695,6 +648,7 @@ def _get_bwd3(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
             jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, c), jnp.float32),
         ],
@@ -717,13 +671,15 @@ def _get_fwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         num_scalar_prefetch=3,
         grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # fiber_t [8, E_pad]
             pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wf8 [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wfd [C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wfn [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [L, C, C]
@@ -757,13 +713,15 @@ def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         num_scalar_prefetch=3,
         grid=(e_pad // be,),
         in_specs=[
-            pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # fiber_t [8, E_pad]
             pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wh, 2 * c), lambda i, cb, f, wb: (wb[i] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wf8
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wfd
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wfn
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
@@ -777,6 +735,7 @@ def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
             pl.BlockSpec((be, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 2 * c), lambda i, cb, f, wb: (cb[i], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwf8 [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dwfd [C, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dwfn [8, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dW [L, C, C]
@@ -785,6 +744,7 @@ def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         scratch_shapes=[
             pltpu.VMEM((n_layers, c, c), jnp.float32),
             pltpu.VMEM((n_layers, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
             pltpu.VMEM((c, c), jnp.float32),
             pltpu.VMEM((8, c), jnp.float32),
         ],
@@ -794,6 +754,7 @@ def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, c), jnp.dtype(pre_dtype_name)),
             jax.ShapeDtypeStruct((n_pad, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((8, c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
             jax.ShapeDtypeStruct((8, c), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
@@ -807,27 +768,33 @@ def _get_bwd4(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
     )
 
 
-def fused_edge_phase_win_dyn(level, zif, xwi_ext, xj_ext, wfd_ext, wfn,
+def fused_edge_phase_win_dyn(level, xwi_ext, xj_ext, wf8, wfd_ext, wfn,
                              weights: Tuple, biases: Tuple, wd: int
                              ) -> Optional[jax.Array]:
     """v4: the windowed fused edge phase with DYNAMIC (world-space) fibers.
 
-    zif: [E_pad, C] static fiber term (+ first bias). xwi_ext / xj_ext:
-    [N_pad, 2C], lanes [0, C) = x@W_i / x@W_j, lanes [C, C+wd) = world
-    positions, rest zero. wfd_ext: [C, C] with rows [0, wd) = the Δworld
-    rows of the first-layer weight; wfn: [8, C] row 0 = the ‖Δworld‖ row.
-    World positions must be stop-gradient at the call site (the backward
-    returns no w-lane cotangents). Returns None when unsupported."""
+    xwi_ext / xj_ext: [N_pad, 2C], lanes [0, C) = x@W_i / x@W_j, lanes
+    [C, C+wd) = world positions, rest zero. wf8: [8, C] static-fiber rows +
+    first bias (see fused_edge_phase_win — the static term comes from the
+    in-kernel `level.fiber_t` dot). wfd_ext: [C, C] with rows [0, wd) = the
+    Δworld rows of the first-layer weight; wfn: [8, C] row 0 = the ‖Δworld‖
+    row. World positions must be stop-gradient at the call site (the
+    backward returns no w-lane cotangents). Returns None when
+    unsupported."""
     from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
 
-    if not supported(level, zif, weights) or not win_supported(level, zif):
+    if not supported(level, xwi_ext[..., : xwi_ext.shape[-1] // 2], weights):
         return None
-    c = zif.shape[-1]
-    if xwi_ext.shape[-2:] != (level.n_pad_nodes, 2 * c):
+    if not win_supported(level, xwi_ext[..., : xwi_ext.shape[-1] // 2]):
+        return None
+    if getattr(level, "fiber_t", None) is None or level.fiber_t.ndim != 2:
+        return None
+    c = xwi_ext.shape[-1] // 2
+    if xwi_ext.shape[-2] != level.n_pad_nodes:
         return None
     if xj_ext.shape[-2:] != (level.n_pad_nodes, 2 * c):
         return None
-    if not (0 < wd <= c):
+    if not (0 < wd <= c) or wf8.shape != (8, c):
         return None
 
     n_layers = len(weights)
@@ -835,10 +802,11 @@ def fused_edge_phase_win_dyn(level, zif, xwi_ext, xj_ext, wfd_ext, wfn,
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
     be = getattr(level, "edge_block", 128)
     wh = level.window // 2
-    op_dtype = "bfloat16" if zif.dtype == jnp.bfloat16 else "float32"
-    pre_dtype = jnp.dtype(zif.dtype).name if op_dtype == "bfloat16" else "float32"
+    op_dtype = "bfloat16" if xwi_ext.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(xwi_ext.dtype).name if op_dtype == "bfloat16" else "float32"
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+    wf8_32 = wf8.astype(jnp.float32)
     wfd32 = wfd_ext.astype(jnp.float32)
     wfn32 = wfn.astype(jnp.float32)
 
@@ -850,87 +818,96 @@ def fused_edge_phase_win_dyn(level, zif, xwi_ext, xj_ext, wfd_ext, wfn,
                         lvl.window)
         return chunk_block, first, lvl.win_base.astype(jnp.int32), sw, recv
 
-    def _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
+    def _raw_forward(lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack, b_stack):
         cb, first, wb, sw, recv = _tables(lvl)
         call = _get_fwd4(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
                          wh, wd, pre_dtype)
-        return call(cb, first, wb, zif.astype(pre_dtype),
+        return call(cb, first, wb, lvl.fiber_t.astype(pre_dtype),
                     xwi_ext.astype(pre_dtype), xwi_ext.astype(pre_dtype),
-                    xj_ext.astype(pre_dtype), wfd, wfn, w_stack, b_stack,
-                    sw, recv)
+                    xj_ext.astype(pre_dtype), wf8, wfd, wfn, w_stack,
+                    b_stack, sw, recv)
 
     @jax.custom_vjp
-    def run(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
-        return _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack,
+    def run(lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack, b_stack):
+        return _raw_forward(lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack,
                             b_stack)
 
-    def fwd(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack):
-        out = _raw_forward(lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack,
+    def fwd(lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack, b_stack):
+        out = _raw_forward(lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack,
                            b_stack)
-        return out, (lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack)
+        return out, (lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack, b_stack)
 
     def bwd(res, g):
-        lvl, zif, xwi_ext, xj_ext, wfd, wfn, w_stack, b_stack = res
+        lvl, xwi_ext, xj_ext, wf8, wfd, wfn, w_stack, b_stack = res
         cb, first, wb, sw, recv = _tables(lvl)
         call = _get_bwd4(e_pad, n_pad, c, n_layers, interpret, op_dtype,
                          pre_dtype, be, wh, wd)
-        dzif, dxj_ext, dwfd, dwfn, dw, db = call(
-            cb, first, wb, zif.astype(pre_dtype), xwi_ext.astype(pre_dtype),
-            xwi_ext.astype(pre_dtype), xj_ext.astype(pre_dtype), wfd, wfn,
+        dpre, dxj_ext, dwf8, dwfd, dwfn, dw, db = call(
+            cb, first, wb, lvl.fiber_t.astype(pre_dtype),
+            xwi_ext.astype(pre_dtype), xwi_ext.astype(pre_dtype),
+            xj_ext.astype(pre_dtype), wf8, wfd, wfn,
             w_stack, b_stack, sw, recv, g.astype(jnp.float32),
         )
         from bsms_gnn_tpu.ops.pallas.segment_sum import (
             segment_sum_raw as _ssr,
         )
 
-        dxwi_x = _ssr(lvl, jnp.take(dzif, lvl.reverse_perm, axis=-2))
+        dxwi_x = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
         dxwi_ext = jnp.concatenate(
             [dxwi_x.astype(xwi_ext.dtype),
              jnp.zeros_like(dxwi_x).astype(xwi_ext.dtype)], axis=-1
         )
-        return (None, dzif.astype(zif.dtype), dxwi_ext,
-                dxj_ext.astype(xj_ext.dtype), dwfd.astype(wfd.dtype),
+        return (None, dxwi_ext, dxj_ext.astype(xj_ext.dtype),
+                dwf8.astype(wf8.dtype), dwfd.astype(wfd.dtype),
                 dwfn.astype(wfn.dtype), dw, db)
 
     run.defvjp(fwd, bwd)
-    axes = tuple(
-        0 if a.ndim == 3 else None for a in (zif, xwi_ext, xj_ext)
-    )
+    axes = tuple(0 if a.ndim == 3 else None for a in (xwi_ext, xj_ext))
     if any(ax == 0 for ax in axes):
-        return jax.vmap(run, in_axes=(None, *axes, None, None, None, None))(
-            level, zif, xwi_ext, xj_ext, wfd32, wfn32, w_stack, b_stack
-        )
-    return run(level, zif, xwi_ext, xj_ext, wfd32, wfn32, w_stack, b_stack)
+        return jax.vmap(
+            run, in_axes=(None, *axes, None, None, None, None, None)
+        )(level, xwi_ext, xj_ext, wf8_32, wfd32, wfn32, w_stack, b_stack)
+    return run(level, xwi_ext, xj_ext, wf8_32, wfd32, wfn32, w_stack,
+               b_stack)
 
 
-def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
+def fused_edge_phase_win(level, xwi, xj, wf8, weights: Tuple, biases: Tuple
                          ) -> Optional[jax.Array]:
-    """v3: aggregate_recv(LN(MLP_tail(relu(zif + xwi[senders] +
+    """v3: aggregate_recv(LN(MLP_tail(relu(fiber·wf8 + xwi[senders] +
     xj[receivers])))) in one kernel, with BOTH gathers in-kernel (sender
     side via windowed one-hot selection, receiver side via the transposed
-    one-hot of the resident block). Only the fiber term `zif` streams as an
-    [E, C] array. Returns None when the layout has no window tables (or the
-    shapes don't fit); residual (out-of-window) edges are NOT included —
-    the caller adds the mini-layout edge phase (ops/message.py)."""
+    one-hot of the resident block) AND the static fiber term computed from
+    the component-major [8, E_pad] stream (`level.fiber_t`; its constant-1
+    row carries the first bias through wf8) — no [E, C] HBM stream at all
+    in the forward. wf8: [8, C], rows [0, pd1) = the static-fiber rows of
+    the first-layer weight, row pd1 = the first bias. Returns None when
+    the layout has no window tables (or shapes don't fit); residual
+    (out-of-window) edges are NOT included — the caller adds the
+    mini-layout edge phase (ops/message.py)."""
     from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
 
-    if not supported(level, zif, weights) or not win_supported(level, zif):
+    if not supported(level, xwi, weights) or not win_supported(level, xwi):
         return None
-    if xwi.shape[-2:] != (level.n_pad_nodes, zif.shape[-1]):
+    if getattr(level, "fiber_t", None) is None or level.fiber_t.ndim != 2:
         return None
-    if xj.shape[-2:] != (level.n_pad_nodes, zif.shape[-1]):
+    c = xwi.shape[-1]
+    if xwi.shape[-2] != level.n_pad_nodes:
+        return None
+    if xj.shape[-2:] != (level.n_pad_nodes, c):
+        return None
+    if wf8.shape != (8, c):
         return None
 
     n_layers = len(weights)
     interpret = jax.default_backend() != "tpu"
-    c = zif.shape[-1]
     e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
     be = getattr(level, "edge_block", 128)
     wh = level.window // 2
-    op_dtype = "bfloat16" if zif.dtype == jnp.bfloat16 else "float32"
-    pre_dtype = jnp.dtype(zif.dtype).name if op_dtype == "bfloat16" else "float32"
+    op_dtype = "bfloat16" if xwi.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(xwi.dtype).name if op_dtype == "bfloat16" else "float32"
     w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+    wf8_32 = wf8.astype(jnp.float32)
 
     from bsms_gnn_tpu.ops.pallas.windowed import _pack_rows
 
@@ -940,33 +917,34 @@ def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
                         lvl.window)
         return chunk_block, first, lvl.win_base.astype(jnp.int32), sw, recv
 
-    def _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack):
+    def _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack):
         cb, first, wb, sw, recv = _tables(lvl)
         call = _get_fwd3(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
                          wh, pre_dtype)
-        return call(cb, first, wb, zif.astype(pre_dtype),
+        return call(cb, first, wb, lvl.fiber_t.astype(pre_dtype),
                     xwi.astype(pre_dtype), xwi.astype(pre_dtype),
-                    xj.astype(pre_dtype), w_stack, b_stack, sw, recv)
+                    xj.astype(pre_dtype), wf8, w_stack, b_stack, sw, recv)
 
     @jax.custom_vjp
-    def run(lvl, zif, xwi, xj, w_stack, b_stack):
-        return _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack)
+    def run(lvl, xwi, xj, wf8, w_stack, b_stack):
+        return _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack)
 
-    def fwd(lvl, zif, xwi, xj, w_stack, b_stack):
-        out = _raw_forward(lvl, zif, xwi, xj, w_stack, b_stack)
-        return out, (lvl, zif, xwi, xj, w_stack, b_stack)
+    def fwd(lvl, xwi, xj, wf8, w_stack, b_stack):
+        out = _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack)
+        return out, (lvl, xwi, xj, wf8, w_stack, b_stack)
 
     def bwd(res, g):
-        lvl, zif, xwi, xj, w_stack, b_stack = res
+        lvl, xwi, xj, wf8, w_stack, b_stack = res
         cb, first, wb, sw, recv = _tables(lvl)
         call = _get_bwd3(e_pad, n_pad, c, n_layers, interpret, op_dtype,
                          pre_dtype, be, wh)
-        dzif, dxj, dw, db = call(
-            cb, first, wb, zif.astype(pre_dtype), xwi.astype(pre_dtype),
-            xwi.astype(pre_dtype), xj.astype(pre_dtype), w_stack, b_stack,
+        dpre, dxj, dwf8, dw, db = call(
+            cb, first, wb, lvl.fiber_t.astype(pre_dtype),
+            xwi.astype(pre_dtype), xwi.astype(pre_dtype),
+            xj.astype(pre_dtype), wf8, w_stack, b_stack,
             sw, recv, g.astype(jnp.float32),
         )
-        # d_xwi[n] = Σ_{in-window e: send(e)=n} dpre_e. dzif is zero at
+        # d_xwi[n] = Σ_{in-window e: send(e)=n} dpre_e. dpre is zero at
         # masked slots, so the plain sender-sum over all slots is exact
         # (reverse-permute + the receiver segment kernel, as the v2 gather
         # backward does).
@@ -974,19 +952,21 @@ def fused_edge_phase_win(level, zif, xwi, xj, weights: Tuple, biases: Tuple
             segment_sum_raw as _ssr,
         )
 
-        dxwi = _ssr(lvl, jnp.take(dzif, lvl.reverse_perm, axis=-2))
-        return (None, dzif.astype(zif.dtype), dxwi.astype(xwi.dtype),
-                dxj.astype(xj.dtype), dw, db)
+        dxwi = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
+        return (None, dxwi.astype(xwi.dtype), dxj.astype(xj.dtype),
+                dwf8.astype(wf8.dtype), dw, db)
 
     run.defvjp(fwd, bwd)
-    axes = tuple(0 if a.ndim == 3 else None for a in (zif, xwi, xj))
+    axes = tuple(0 if a.ndim == 3 else None for a in (xwi, xj))
     if any(ax == 0 for ax in axes):
-        # Batched mode; the static fiber term zif is usually UNBATCHED
-        # (shared mesh) while x-derived streams carry the batch axis.
-        return jax.vmap(run, in_axes=(None, *axes, None, None))(
-            level, zif, xwi, xj, w_stack, b_stack
+        # Batched mode (shared mesh): wf8 and the fiber stream are
+        # unbatched while x-derived streams carry the batch axis.
+        return jax.vmap(run, in_axes=(None, *axes, None, None, None))(
+            level, xwi, xj, wf8_32, w_stack, b_stack
         )
-    return run(level, zif, xwi, xj, w_stack, b_stack)
+    return run(level, xwi, xj, wf8_32, w_stack, b_stack)
+
+
 
 
 def _make_fwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
@@ -1004,9 +984,9 @@ def _make_fwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
 
     from bsms_gnn_tpu.ops.pallas.windowed import _select
 
-    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
-               xj_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref, recv_ref,
-               out_ref):
+    def kernel(cb_ref, first_ref, wb_ref, fibt_ref, xwia_ref, xwib_ref,
+               xj_ref, wf8_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref,
+               recv_ref, out_ref):
         i = pl.program_id(0)
         base_row = cb_ref[i] * BN
 
@@ -1032,8 +1012,9 @@ def _make_fwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
 
         dwv = sel[:, c:] - zjf[:, c:]  # [BE, C], lanes >= wd are zero
         nrm = jnp.sqrt(jnp.sum(dwv * dwv, axis=-1, keepdims=True))
+        fib = _dot_t(fibt_ref[:].astype(jnp.float32), wf8_ref[:], op_dtype)
         pre = (
-            zif_ref[:].astype(jnp.float32)
+            fib
             + sel[:, :c]
             + zjf[:, :c]
             + _dot(dwv, wfd_ref[:], op_dtype)
@@ -1051,10 +1032,11 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
 
     from bsms_gnn_tpu.ops.pallas.windowed import _select
 
-    def kernel(cb_ref, first_ref, wb_ref, zif_ref, xwia_ref, xwib_ref,
-               xj_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref, recv_ref,
-               g_node_ref, dzif_ref, dxj_ref, dwfd_ref, dwfn_ref, dw_ref,
-               db_ref, dw_acc, db_acc, dwfd_acc, dwfn_acc):
+    def kernel(cb_ref, first_ref, wb_ref, fibt_ref, xwia_ref, xwib_ref,
+               xj_ref, wf8_ref, wfd_ref, wfn_ref, w_ref, b_ref, sw_ref,
+               recv_ref, g_node_ref, dpre_ref, dxj_ref, dwf8_ref, dwfd_ref,
+               dwfn_ref, dw_ref, db_ref, dw_acc, db_acc, dwf8_acc, dwfd_acc,
+               dwfn_acc):
         i = pl.program_id(0)
         nc = pl.num_programs(0)
         base_row = cb_ref[i] * BN
@@ -1063,6 +1045,7 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
         def _():
             dw_acc[:] = jnp.zeros_like(dw_acc)
             db_acc[:] = jnp.zeros_like(db_acc)
+            dwf8_acc[:] = jnp.zeros_like(dwf8_acc)
             dwfd_acc[:] = jnp.zeros_like(dwfd_acc)
             dwfn_acc[:] = jnp.zeros_like(dwfn_acc)
 
@@ -1072,7 +1055,7 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
 
         row = jax.lax.rem(i, 8)
         sw = sw_ref[pl.ds(row, 1), :]
-        c = dzif_ref.shape[-1]
+        c = dpre_ref.shape[-1]
         f32_mode = op_dtype != jnp.bfloat16
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
         oh_a = (iota_w == sw).astype(jnp.bfloat16)
@@ -1089,8 +1072,10 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
 
         dwv = sel[:, c:] - zjf[:, c:]
         nrm = jnp.sqrt(jnp.sum(dwv * dwv, axis=-1, keepdims=True))
+        fibt = fibt_ref[:].astype(jnp.float32)
+        fib = _dot_t(fibt, wf8_ref[:], op_dtype)
         pre = (
-            zif_ref[:].astype(jnp.float32)
+            fib
             + sel[:, :c]
             + zjf[:, :c]
             + _dot(dwv, wfd_ref[:], op_dtype)
@@ -1107,14 +1092,16 @@ def _make_bwd4_kernel(n_layers: int, op_dtype, be: int, wh: int, wd: int):
         # stop-gradient, so no w-lane cotangents are owed).
         dwfd_acc[:] += _dot_t(dwv, dpre, op_dtype)
         dwfn_acc[pl.ds(0, 1), :] += jnp.sum(nrm * dpre, axis=0, keepdims=True)
+        dwf8_acc[:] += _dot(fibt, dpre, op_dtype)
 
-        dzif_ref[:] = dpre.astype(dzif_ref.dtype)
+        dpre_ref[:] = dpre.astype(dpre_ref.dtype)
         dxj_ref[:, :c] += _dot(onehot, dpre, op_dtype)
 
         @pl.when(i == nc - 1)
         def _():
             dw_ref[:] = dw_acc[:]
             db_ref[:] = db_acc[:]
+            dwf8_ref[:] = dwf8_acc[:]
             dwfd_ref[:] = dwfd_acc[:]
             dwfn_ref[:] = dwfn_acc[:]
 

@@ -49,6 +49,7 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             send_win=None if l.send_win is None else edge,
             win_base=None if l.win_base is None else repl,
             resid=None if l.resid is None else level_spec(l.resid),
+            fiber_t=None if l.fiber_t is None else P(None, "graph"),
         )
 
     levels = tuple(level_spec(l) for l in h.levels)
