@@ -144,12 +144,7 @@ def gmp_apply(
                 params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
             )
         if aggr is not None:
-            wn = params.mlp_node.weights[0]
-            node_pre = (
-                dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
-                + dense(aggr, wn[c:], 0.0, compute_dtype)
-            )
-            return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
+            return _node_phase(params, x, aggr, method, compute_dtype)
 
     if (
         method == "fused"
@@ -216,12 +211,7 @@ def gmp_apply(
                 r, e_r, "ell"
             )
         if aggr is not None:
-            wn = params.mlp_node.weights[0]
-            node_pre = (
-                dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
-                + dense(aggr, wn[c:], 0.0, compute_dtype)
-            )
-            return mlp_apply_tail(params.mlp_node, node_pre, compute_dtype) + x
+            return _node_phase(params, x, aggr, method, compute_dtype)
 
     # Node-side pre-transforms, then gather the 128-lane-aligned activations.
     z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
@@ -265,6 +255,24 @@ def gmp_apply(
         edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
         aggr = aggregate_recv(level, edge_embedding, agg_method)
 
+    return _node_phase(params, x, aggr, method, compute_dtype)
+
+
+def _node_phase(params: GMPParams, x, aggr, method: str, compute_dtype):
+    """Node MLP over [x, aggr] + residual (reference `ops/basic.py:95-98`),
+    with the split-first-layer trick. On the pallas/fused methods the whole
+    phase runs as ONE row-chunked kernel (ops/pallas/node_mlp.py) — the
+    hidden activations never touch HBM; ell/segment stay on pure XLA (the
+    parity-oracle paths)."""
+    from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
+
+    if method in ("pallas", "fused"):
+        from bsms_gnn_tpu.ops.pallas.node_mlp import fused_node_phase
+
+        out = fused_node_phase(x, aggr, params.mlp_node, compute_dtype)
+        if out is not None:
+            return out
+    c = x.shape[-1]
     wn = params.mlp_node.weights[0]
     node_pre = (
         dense(x, wn[:c], params.mlp_node.biases[0], compute_dtype)
