@@ -568,3 +568,69 @@ def test_windowed_fused_under_gspmd_shards():
     ref = fwd(h)
     out = fwd(shard_hierarchy(h, make_mesh(2, 4)))
     np.testing.assert_allclose(out[:n], ref[:n], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [None, "bfloat16"])
+def test_fused_node_phase_matches_oracle(dtype):
+    """ops/pallas/node_mlp.py equals the XLA node phase (split first layer
+    + tail + LN + residual) in values and all gradients."""
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.ops.dense import dense, init_mlp, mlp_apply_tail
+    from bsms_gnn_tpu.ops.pallas.node_mlp import fused_node_phase
+
+    cd = jnp.bfloat16 if dtype == "bfloat16" else None
+    rng = np.random.default_rng(0)
+    n, c = 384, 128  # 384 = 3 x 128 (exercises the rb fallback)
+    mlp = init_mlp(jax.random.PRNGKey(1), 2 * c, c, c, hidden_layers=2)
+    x = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    aggr = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    if cd is not None:
+        x, aggr = x.astype(cd), aggr.astype(cd)
+
+    def oracle(x, aggr, mlp):
+        wn = mlp.weights[0]
+        pre = (dense(x, wn[:c], mlp.biases[0], cd)
+               + dense(aggr, wn[c:], 0.0, cd))
+        return mlp_apply_tail(mlp, pre, cd) + x
+
+    got = fused_node_phase(x, aggr, mlp, cd)
+    assert got is not None
+    want = oracle(x, aggr, mlp)
+    tol = 2e-2 if cd is not None else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+    cot = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+
+    def loss_f(x, aggr, mlp):
+        return jnp.vdot(fused_node_phase(x, aggr, mlp, cd).astype(jnp.float32), cot)
+
+    def loss_o(x, aggr, mlp):
+        return jnp.vdot(oracle(x, aggr, mlp).astype(jnp.float32), cot)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, aggr, mlp)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(x, aggr, mlp)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(go)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if cd is None:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        else:
+            # bf16: the kernel keeps f32 between layers while the oracle
+            # rounds each intermediate to bf16 — ReLU-boundary mask flips
+            # cause large LOCAL grad diffs; compare on average error.
+            denom = max(np.abs(b).mean(), 1e-6)
+            assert np.abs(a - b).mean() / denom < 2e-2
+
+    # batched
+    xb = jnp.stack([x, x * 0.5])
+    ab = jnp.stack([aggr, aggr * 2.0])
+    got_b = fused_node_phase(xb, ab, mlp, cd)
+    np.testing.assert_allclose(
+        np.asarray(got_b[0], np.float32), np.asarray(got, np.float32),
+        rtol=tol, atol=tol,
+    )
