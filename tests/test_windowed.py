@@ -613,18 +613,38 @@ def test_fused_node_phase_matches_oracle(dtype):
 
     gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, aggr, mlp)
     go = jax.grad(loss_o, argnums=(0, 1, 2))(x, aggr, mlp)
-    for a, b in zip(jax.tree_util.tree_leaves(gf),
-                    jax.tree_util.tree_leaves(go)):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        if cd is None:
-            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
-        else:
-            # bf16: the kernel keeps f32 between layers while the oracle
-            # rounds each intermediate to bf16 — ReLU-boundary mask flips
-            # cause large LOCAL grad diffs; compare on average error.
-            denom = max(np.abs(b).mean(), 1e-6)
-            assert np.abs(a - b).mean() / denom < 3e-2
+    if cd is None:
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(go)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-4, atol=5e-4,
+            )
+    else:
+        # bf16: the kernel keeps f32 BETWEEN layers while the XLA path
+        # rounds every intermediate to bf16, so their grads differ through
+        # ReLU-boundary flips. The honest property: measured against the
+        # f32 ground truth, the kernel's bf16 error is no worse than the
+        # XLA bf16 path's (x1.5 slack).
+        def loss_o32(x, aggr, mlp):
+            nonlocal cd
+            saved, cd = cd, None
+            try:
+                return jnp.vdot(oracle(x.astype(jnp.float32),
+                                       aggr.astype(jnp.float32), mlp), cot)
+            finally:
+                cd = saved
+
+        g32 = jax.grad(loss_o32, argnums=(0, 1, 2))(x, aggr, mlp)
+        for a, b, r in zip(jax.tree_util.tree_leaves(gf),
+                           jax.tree_util.tree_leaves(go),
+                           jax.tree_util.tree_leaves(g32)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            r = np.asarray(r, np.float32)
+            err_kernel = np.abs(a - r).mean()
+            err_xla = np.abs(b - r).mean()
+            assert err_kernel <= 1.5 * err_xla + 1e-3, (err_kernel, err_xla)
 
     # batched
     xb = jnp.stack([x, x * 0.5])
