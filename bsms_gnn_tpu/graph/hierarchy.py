@@ -292,6 +292,11 @@ def _pad_level(
 
     send_win = win_base = resid_level = None
     if window:
+        # Tiny levels: a window wider than the node set would index
+        # half-window blocks out of range — shrink to the node count
+        # (base 0 then covers every sender; no residual).
+        window = min(window, n_pad)
+        assert n_pad % (window // 2) == 0
         send_win, win_base, resid_level = _window_tables(
             senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
             edge_block, n, lvl_pos,

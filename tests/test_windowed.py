@@ -654,3 +654,25 @@ def test_fused_node_phase_matches_oracle(dtype):
         np.asarray(got_b[0], np.float32), np.asarray(got, np.float32),
         rtol=tol, atol=tol,
     )
+
+
+def test_window_clamps_to_tiny_levels():
+    """Deep hierarchies have levels smaller than the window: the per-level
+    window clamps to n_pad (base 0 covers everything, win_base never
+    negative — a negative half-window block index is UB on hardware)."""
+    pos, cells = make_grid_mesh(30, 30)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    h = build_hierarchy(edges, 4, pos.shape[0], pos, window=512)
+    h0 = build_hierarchy(edges, 4, pos.shape[0], pos)
+    for g, g0 in zip(h.levels, h0.levels):
+        assert int(g.win_base.min()) >= 0
+        assert g.window <= max(512, g.n_pad_nodes)
+        if g.n_pad_nodes < 512:
+            assert g.window == g.n_pad_nodes and g.resid is None
+        x = _rand_x(g, seed=g.n_nodes)
+        a = np.asarray(edge_conv_down(g, x, None, "pallas"))
+        b = np.asarray(
+            edge_conv_down(g0, x[: g0.n_pad_nodes], None, "ell"))
+        np.testing.assert_allclose(
+            a[: g.n_nodes], b[: g.n_nodes], rtol=2e-5, atol=1e-6)
