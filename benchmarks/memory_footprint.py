@@ -1,0 +1,105 @@
+"""Peak-HBM-vs-batch-size benchmark — the BASELINE.md memory row
+(`figs/perform.png(c)`: reference BSMS ≈17 GB at batch 64 on DeformingPlate,
+slope ~2-4x shallower than MGN/Grid).
+
+Runs a full training step (forward + backward + AdamW) of the
+deforming_plate recipe (depth-5 U-Net, latent 128, world edges) on a
+synthetic tetra mesh at the reference case's scale (~1.3k nodes) across a
+batch-size sweep, and reports the device peak memory per point plus the
+fitted GB-per-sample slope.
+
+Usage: python benchmarks/memory_footprint.py [n_nodes] [batches...]
+(TPU; falls back to a tiny CPU sanity sweep with --cpu)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _peak_bytes(device) -> int:
+    stats = device.memory_stats() or {}
+    return int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+
+
+def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data.synthetic import make_tetra_mesh
+    from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.training import Trainer
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+
+    cfg = load_config([
+        "datasets=deforming_plate", "model=deforming_plate",
+        "model.accumulation_steps=1",
+        f"model.compute_dtype={compute_dtype}",
+        "opt.warmup_steps=2", "opt.decay_steps=100",
+    ])
+    rng = np.random.default_rng(0)
+    pos, cells, node_type = make_tetra_mesh(n_nodes, rng)
+    edges = to_flat_edge(cells, "tetra")
+    depth = cfg.model.unet_depth
+    h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))
+
+    n, n_pad = pos.shape[0], h.levels[0].n_pad_nodes
+    c, pd = cfg.model.out_dim, cfg.model.pos_dim
+    key = jax.random.PRNGKey(0)
+
+    results = []
+    for b in batches:
+        node_in = np.zeros((b, n_pad, c + pd + 1), np.float32)
+        node_in[:, :n, :c] = pos * 1.02  # world_pos
+        node_in[:, :n, c:c + pd] = pos
+        node_in[:, :n, -1:] = node_type
+        node_tar = np.zeros((b, n_pad, c), np.float32)
+        node_tar[:, :n] = pos * 1.03
+        mask = np.ones((b, n_pad, 1), np.float32)
+        mask[:, n:] = 0.0
+
+        trainer = Trainer(cfg)
+        # one warmup (normalizer) + one gradient step; peak covers backward
+        for i in range(2):
+            loss = trainer.iter(
+                h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                jnp.asarray(mask), jax.random.fold_in(key, i),
+            )
+            loss.block_until_ready()
+        peak = _peak_bytes(dev)
+        gb = peak / 2**30
+        results.append((b, gb))
+        print(f"batch {b:3d}: peak {gb:.2f} GiB (loss {float(loss):.4f})",
+              flush=True)
+        del trainer
+
+    if len(results) >= 2:
+        bs = np.array([r[0] for r in results], np.float64)
+        gbs = np.array([r[1] for r in results], np.float64)
+        slope, intercept = np.polyfit(bs, gbs, 1)
+        print(
+            f"slope {slope * 1024:.1f} MiB/sample, intercept {intercept:.2f} GiB"
+        )
+        bmax, gmax = results[-1]
+        print(
+            f"REFERENCE COMPARISON: BSMS-GNN(torch) ~17 GB @ batch 64 "
+            f"(figs/perform.png(c)); this framework {gmax:.2f} GiB @ batch "
+            f"{bmax} ({'%.1fx' % (17.0 / gmax * bmax / 64)} samples/GB ratio)"
+        )
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    n_nodes = int(args[0]) if args else 1300
+    batches = tuple(int(a) for a in args[1:]) or (8, 16, 32, 64)
+    main(n_nodes, batches)

@@ -266,7 +266,9 @@ def _node_phase(params: GMPParams, x, aggr, method: str, compute_dtype):
     parity-oracle paths)."""
     from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
 
-    if method in ("pallas", "fused"):
+    # The node phase is purely row-local, so the fused kernel also applies
+    # inside the shard_map halo path (each shard's [N_loc, C] rows).
+    if method in ("pallas", "fused") or method.startswith("halo:"):
         from bsms_gnn_tpu.ops.pallas.node_mlp import fused_node_phase
 
         out = fused_node_phase(x, aggr, params.mlp_node, compute_dtype)
@@ -286,6 +288,11 @@ def cal_ew(level: LevelGraph, w, method: str = "ell"):
 
     w: [N_pad, 1] node weights. Returns (ec [E_pad], aggr_w [N_pad, 1]).
     """
+    if method.startswith("halo:") and getattr(level, "local", None) is not None:
+        raise NotImplementedError(
+            "runtime cal_ew is not supported on ghost halo layouts — the "
+            "transition weights are precomputed offline (level.local.ew)"
+        )
     w = jax.lax.stop_gradient(w)
     normed_w = w[..., 0] / level.deg
     w_send = gather_send(level, normed_w[..., None], method)[..., 0]
@@ -452,6 +459,14 @@ def edge_conv_down(level: LevelGraph, x, ew=None, method: str = "ell"):
     `ew=None` means "the level's own transition weights" (the model's case)
     and additionally unlocks the windowed gather-free kernel on layouts
     built with `window` > 0."""
+    if method.startswith("halo:") and getattr(level, "local", None) is not None:
+        # Ghost-edge halo layout: the generic gather/aggregate composition
+        # is invalid there (gather_recv is ghost-clamped) — use the
+        # dedicated adjoint pair (one ext gather + local kernel each way).
+        assert ew is None, "halo ghost layouts precompute ew offline"
+        from bsms_gnn_tpu.parallel import halo
+
+        return halo.conv_down_ghost(level, x, method.split(":")[1])
     if ew is None:
         if method in ("pallas", "fused") and _conv_fast_ok(level, x):
             return _LVL_DOWN(level, x)
@@ -465,6 +480,11 @@ def edge_conv_down(level: LevelGraph, x, ew=None, method: str = "ell"):
 def edge_conv_up(level: LevelGraph, x, ew=None, method: str = "ell"):
     """Returning pass (ref aggragating=False): msg = x[receivers] · ew,
     summed at senders."""
+    if method.startswith("halo:") and getattr(level, "local", None) is not None:
+        assert ew is None, "halo ghost layouts precompute ew offline"
+        from bsms_gnn_tpu.parallel import halo
+
+        return halo.conv_up_ghost(level, x, method.split(":")[1])
     if ew is None:
         if method in ("pallas", "fused") and _conv_fast_ok(level, x):
             return _LVL_UP(level, x)

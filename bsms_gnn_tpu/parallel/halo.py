@@ -76,8 +76,214 @@ def _seg_sum(feat, index, n_out):
     return jnp.moveaxis(out, 0, -2)
 
 
+# ---------------------------------------------------------------------------
+# Ghost-edge kernel path (HaloLevel.local is set — see parallel/partition.py
+# `_attach_ghost_layout`). The per-shard layout is a true symmetric
+# LevelGraph over the extended table [x_loc ; halo ; pad], so the
+# single-chip Pallas kernels aggregate per shard; ghost slots (reversed
+# boundary twins) make sender-side sums complete locally — the forward
+# needs ONE all_to_all per sender gather and nothing else.
+# ---------------------------------------------------------------------------
+
+
+def _is_ghost(level) -> bool:
+    return getattr(level, "local", None) is not None
+
+
+def _ext_assemble(level: HaloLevel, x, axis: str):
+    """[..., N_loc, C] → [..., N_ext_pad, C]: local rows, received halo
+    rows (one all_to_all), zero pad rows (incl. the layout's pad node)."""
+    lg = level.local
+    halo = _halo_rows(x, level.halo_send, axis)
+    pad = lg.n_pad_nodes - x.shape[-2] - halo.shape[-2]
+    zeros = jnp.zeros(x.shape[:-2] + (pad, x.shape[-1]), x.dtype)
+    return jnp.concatenate([x, halo, zeros], axis=-2)
+
+
+def _pad_rows(x, n_rows: int):
+    """Zero-pad axis -2 up to n_rows."""
+    pad = n_rows - x.shape[-2]
+    zeros = jnp.zeros(x.shape[:-2] + (pad, x.shape[-1]), x.dtype)
+    return jnp.concatenate([x, zeros], axis=-2)
+
+
+def _kernel_recv_sum(lg, feat):
+    """Receiver segment-sum over the local layout (Pallas when supported,
+    XLA segment-sum fallback for narrow test widths). Returns [..., N_ext_pad, C]."""
+    from bsms_gnn_tpu.ops.pallas import segment_sum_pallas
+
+    out = segment_sum_pallas(lg, feat)
+    if out is None:
+        out = _seg_sum(feat, lg.receivers, lg.n_pad_nodes)
+    return out
+
+
+def _kernel_send_sum(lg, feat):
+    """Sender segment-sum over the local layout (reverse-perm Pallas trick
+    on the symmetric ghost layout)."""
+    from bsms_gnn_tpu.ops.pallas import segment_sum_send_pallas
+
+    out = segment_sum_send_pallas(lg, feat)
+    if out is None:
+        out = _seg_sum(feat, lg.senders, lg.n_pad_nodes)
+    return out
+
+
+def _gather_send_ghost(level: HaloLevel, x, axis: str):
+    lg = level.local
+    n_loc = level.n_pad_nodes
+    in_dtype = x.dtype
+
+    @jax.custom_vjp
+    def g(x):
+        return jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
+
+    def fwd(x):
+        return g(x), None
+
+    def bwd(_, ct):
+        full = _kernel_send_sum(lg, ct)
+        local = full[..., :n_loc, :]
+        nh = level.halo_send.shape[0] * level.halo_send.shape[1]
+        remote = _halo_return(
+            full[..., n_loc : n_loc + nh, :], level.halo_send, n_loc, axis
+        )
+        return ((local + remote).astype(in_dtype),)
+
+    g.defvjp(fwd, bwd)
+    return g(x)
+
+
+def _gather_recv_ghost(level: HaloLevel, x, axis: str):
+    """x[receivers] with ghost slots clamped to the local pad row (zeros).
+    Ghost edge outputs are structurally dead in receiver aggregation (they
+    land on discarded ext rows), so the clamp never reaches a real value —
+    and the adjoint drops exactly those dead cotangents. Do NOT compose
+    this with `aggregate_send` for the up conv; use `conv_up_ghost`."""
+    lg = level.local
+    n_loc = level.n_pad_nodes
+    in_dtype = x.dtype
+
+    @jax.custom_vjp
+    def g(x):
+        return jnp.take(x, level.recv_clamped, axis=-2)
+
+    def fwd(x):
+        return g(x), None
+
+    def bwd(_, ct):
+        full = _kernel_recv_sum(lg, ct)
+        return (full[..., :n_loc, :].astype(in_dtype),)
+
+    g.defvjp(fwd, bwd)
+    return g(x)
+
+
+def _aggregate_recv_ghost(level: HaloLevel, feat, axis: str):
+    """Σ over owned edges by (local) receiver — ghost contributions land on
+    ext rows ≥ N_loc and are sliced away. Purely local."""
+    lg = level.local
+    n_loc = level.n_pad_nodes
+    in_dtype = feat.dtype
+
+    @jax.custom_vjp
+    def g(feat):
+        return _kernel_recv_sum(lg, feat)[..., :n_loc, :]
+
+    def fwd(feat):
+        return g(feat), None
+
+    def bwd(_, ct):
+        ct_ext = _pad_rows(ct, lg.n_pad_nodes)
+        return (jnp.take(ct_ext, lg.receivers, axis=-2).astype(in_dtype),)
+
+    g.defvjp(fwd, bwd)
+    return g(feat)
+
+
+def _aggregate_send_ghost(level: HaloLevel, feat, axis: str):
+    """Σ over ALL slots (owned + ghost) by sender: ghost slots carry the
+    remote-owned out-edges, so local sender rows are globally complete with
+    ZERO communication (the collective moved into the feature gather)."""
+    lg = level.local
+    n_loc = level.n_pad_nodes
+    in_dtype = feat.dtype
+
+    @jax.custom_vjp
+    def g(feat):
+        return _kernel_send_sum(lg, feat)[..., :n_loc, :]
+
+    def fwd(feat):
+        return g(feat), None
+
+    def bwd(_, ct):
+        ct_ext = _pad_rows(ct, lg.n_pad_nodes)
+        return (jnp.take(ct_ext, lg.senders, axis=-2).astype(in_dtype),)
+
+    g.defvjp(fwd, bwd)
+    return g(feat)
+
+
+def _conv_down_ghost_raw(level: HaloLevel, x, axis: str):
+    lg = level.local
+    ew = lg.ew.astype(x.dtype)
+    msg = jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
+    out = _kernel_recv_sum(lg, msg * ew[..., None])
+    return out[..., : level.n_pad_nodes, :].astype(x.dtype)
+
+
+def _conv_up_ghost_raw(level: HaloLevel, x, axis: str):
+    """Up conv on the ghost layout: Σ_{send(e)=n} ew_e·x[recv_e] equals the
+    RECEIVER-sum of x[senders]·ew∘reverse (symmetric layout, offline
+    `ew_rev`) — one ext gather + the same local streaming kernel, no
+    sender-side collective at all (vs. the non-ghost path's return
+    all_to_all)."""
+    lg = level.local
+    ew_rev = lg.ew_rev.astype(x.dtype)
+    msg = jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
+    out = _kernel_recv_sum(lg, msg * ew_rev[..., None])
+    return out[..., : level.n_pad_nodes, :].astype(x.dtype)
+
+
+def conv_down_ghost(level: HaloLevel, x, axis: str):
+    """Transition down conv with the level's own offline weights, as a
+    custom-VJP adjoint pair (convᵀ_down = conv_up globally — the same
+    argument as ops/message.py::_make_lvl_conv_pair, which holds for the
+    composed global operator here)."""
+
+    @jax.custom_vjp
+    def down(x):
+        return _conv_down_ghost_raw(level, x, axis)
+
+    def fwd(x):
+        return down(x), None
+
+    def bwd(_, g):
+        return (_conv_up_ghost_raw(level, g, axis),)
+
+    down.defvjp(fwd, bwd)
+    return down(x)
+
+
+def conv_up_ghost(level: HaloLevel, x, axis: str):
+    @jax.custom_vjp
+    def up(x):
+        return _conv_up_ghost_raw(level, x, axis)
+
+    def fwd(x):
+        return up(x), None
+
+    def bwd(_, g):
+        return (_conv_down_ghost_raw(level, g, axis),)
+
+    up.defvjp(fwd, bwd)
+    return up(x)
+
+
 def gather_send(level: HaloLevel, x, axis: str):
     """x: [..., N_loc, C] → [..., E_loc, C] edge-sender features."""
+    if _is_ghost(level):
+        return _gather_send_ghost(level, x, axis)
 
     @jax.custom_vjp
     def g(x):
@@ -106,6 +312,8 @@ def _aggregate_send_impl(level: HaloLevel, feat, axis: str):
 
 def aggregate_send(level: HaloLevel, feat, axis: str):
     """Σ_{e: send(e)=n} feat[e] (up-pass reverse conv target)."""
+    if _is_ghost(level):
+        return _aggregate_send_ghost(level, feat, axis)
 
     @jax.custom_vjp
     def g(feat):
@@ -125,6 +333,8 @@ def aggregate_send(level: HaloLevel, feat, axis: str):
 
 def gather_recv(level: HaloLevel, x, axis: str):
     """x[receivers] — local."""
+    if _is_ghost(level):
+        return _gather_recv_ghost(level, x, axis)
 
     @jax.custom_vjp
     def g(x):
@@ -142,6 +352,8 @@ def gather_recv(level: HaloLevel, x, axis: str):
 
 def aggregate_recv(level: HaloLevel, feat, axis: str):
     """Σ_{e: recv(e)=n} feat[e] — local (edges are receiver-owned)."""
+    if _is_ghost(level):
+        return _aggregate_recv_ghost(level, feat, axis)
 
     @jax.custom_vjp
     def g(feat):

@@ -20,7 +20,7 @@ TPU-native capability BASELINE.md's ≥80% scaling target names.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from flax import struct
@@ -30,7 +30,15 @@ from bsms_gnn_tpu.graph.bistride import (
     smoothed_positions,
     transition_edge_weights,
 )
-from bsms_gnn_tpu.graph.hierarchy import Transition
+from bsms_gnn_tpu.graph.csr import CsrGraph
+from bsms_gnn_tpu.graph.hierarchy import (
+    EDGE_BLOCK,
+    NODE_BLOCK,
+    LevelGraph,
+    Transition,
+    _pad_level,
+    layout_edge_count,
+)
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -67,6 +75,23 @@ class HaloLevel:
     halo_width: int = struct.field(pytree_node=False)  # H
     n_nodes: int = struct.field(pytree_node=False)  # total real nodes
     n_edges: int = struct.field(pytree_node=False)  # total real edges
+    # Ghost-edge kernel layout (build_partition(local_layouts=True)): a true
+    # per-shard LevelGraph over the EXTENDED node space [x_loc ; halo ; pad]
+    # whose edge set is each shard's owned (receiver-local) edges PLUS the
+    # reversed twins of its cross-shard edges ("ghosts", receivers in halo
+    # rows). The symmetrized set makes `reverse_perm` well-defined, so every
+    # single-chip Pallas kernel (receiver segment-sum, reverse-perm sender
+    # sum, windowed selection) runs unchanged per shard, and sender-side
+    # aggregation needs NO return all_to_all (ghost slots carry the
+    # remote-owned out-edges locally). When set, the edge-space fields above
+    # (senders_ext / receivers / ew / fiber / edge_mask) are this layout's
+    # stacked arrays — receivers then live in EXT space — and only the
+    # ghost-aware ops in `parallel/halo.py` may consume the level.
+    local: Optional[LevelGraph] = None
+    # receivers with ghost slots clamped to the local pad row (n_loc - 1,
+    # a zero row): the GMP's receiver gather reads this (ghost edge outputs
+    # are structurally dead in receiver aggregation — see halo.py).
+    recv_clamped: Optional[np.ndarray] = None  # [S, E_pad] int32
 
     @property
     def n_pad_nodes(self) -> int:  # local padded node count
@@ -106,9 +131,9 @@ def _partition_level(
     assignment: np.ndarray,
     n_shards: int,
     block: int,
-) -> Tuple[HaloLevel, List[np.ndarray], np.ndarray]:
+) -> Tuple[HaloLevel, List[np.ndarray], np.ndarray, list]:
     """Build one HaloLevel. Returns (level, owned-node lists, local index of
-    each global node)."""
+    each global node, halo lists [dest][owner] -> global sender ids)."""
     s_count = np.bincount(assignment, minlength=n_shards)
     n_loc = _pad_to(int(s_count.max()) + 1, block)
     owned = [np.flatnonzero(assignment == s) for s in range(n_shards)]
@@ -195,7 +220,126 @@ def _partition_level(
         n_nodes=n,
         n_edges=edges.shape[1],
     )
-    return level, owned, local_of
+    return level, owned, local_of, halo_lists
+
+
+def _global_reverse(edges: np.ndarray, n: int) -> np.ndarray:
+    """Index of each edge's reverse twin in the global (symmetric) edge
+    list — same key-matching as `graph/hierarchy.py::_pad_level`."""
+    snd = edges[0].astype(np.int64)
+    rcv = edges[1].astype(np.int64)
+    key_fwd = snd * n + rcv
+    key_rev = rcv * n + snd
+    order = np.argsort(key_fwd)
+    pos_of_rev = np.searchsorted(key_fwd[order], key_rev)
+    assert np.array_equal(key_fwd[order][pos_of_rev], key_rev), (
+        "level edge set is not symmetric"
+    )
+    return order[pos_of_rev]
+
+
+def _attach_ghost_layout(
+    level: HaloLevel,
+    edges: np.ndarray,
+    ec: np.ndarray,
+    lvl_pos: np.ndarray,
+    assignment: np.ndarray,
+    owned: List[np.ndarray],
+    local_of: np.ndarray,
+    halo_lists: list,
+    edge_block: int,
+) -> HaloLevel:
+    """Build the per-shard ghost-edge `LevelGraph`s (see `HaloLevel.local`)
+    and rebase the level's edge-space fields onto their stacked layout.
+
+    Shard s's local graph lives in EXT coordinates (rows [0, n_loc) = owned
+    nodes + local pad, rows [n_loc, n_loc + S·H) = halo slots, then zero pad
+    rows) and contains every owned edge plus the reversed twin of each
+    cross-shard owned edge — a symmetric set, so `_pad_level` runs
+    unchanged and yields `reverse_perm`/`ew_rev`/block-aligned chunks for
+    the single-chip Pallas kernels."""
+    S, H = level.n_shards, level.halo_width
+    n_loc = level.deg.shape[-1]
+    n_ext = n_loc + S * H
+    n_ext_pad = _pad_to(n_ext + 1, NODE_BLOCK)
+    snd = edges[0].astype(np.int64)
+    rcv = edges[1].astype(np.int64)
+    ec64 = np.asarray(ec, np.float64)
+    ec_rev = ec64[_global_reverse(edges, int(assignment.shape[0]))]
+    e_owner = assignment[rcv]
+    p64 = np.asarray(lvl_pos, np.float64)
+
+    shard_inputs = []
+    e_layouts = [0]
+    for s in range(S):
+        es = np.flatnonzero(e_owner == s)
+        snd_s, rcv_s = snd[es], rcv[es]
+        is_local = assignment[snd_s] == s
+        ext_of = np.full(assignment.shape[0], -1, np.int64)
+        ext_pos = np.zeros((n_ext, p64.shape[1]), np.float64)
+        o = owned[s]
+        ext_pos[local_of[o]] = p64[o]
+        for t in range(S):
+            lst = halo_lists[s][t]
+            if len(lst):
+                slots = n_loc + t * H + np.arange(len(lst))
+                ext_of[lst] = slots
+                ext_pos[slots] = p64[lst]
+        lsnd = np.where(is_local, local_of[snd_s], ext_of[snd_s])
+        lrcv = local_of[rcv_s]
+        cross = np.flatnonzero(~is_local)
+        local_edges = np.stack([
+            np.concatenate([lsnd, lrcv[cross]]),
+            np.concatenate([lrcv, ext_of[snd_s[cross]]]),
+        ])
+        ec_local = np.concatenate([ec64[es], ec_rev[es[cross]]])
+        shard_inputs.append((local_edges, ec_local, ext_pos))
+        counts = np.bincount(local_edges[1], minlength=n_ext_pad)
+        e_layouts.append(layout_edge_count(counts, n_ext_pad, edge_block))
+
+    emax = max(e_layouts)
+    lgs = [
+        _pad_level(
+            CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
+            edge_block=edge_block,
+        )
+        for le, ec_l, ext_pos in shard_inputs
+    ]
+
+    e_pad = lgs[0].n_pad_edges
+    kin = max(lg.recv_ell.shape[1] for lg in lgs)
+    kout = max(lg.send_ell.shape[1] for lg in lgs)
+    lgs = [
+        lg.replace(
+            recv_ell=np.pad(
+                lg.recv_ell, ((0, 0), (0, kin - lg.recv_ell.shape[1])),
+                constant_values=e_pad,
+            ),
+            send_ell=np.pad(
+                lg.send_ell, ((0, 0), (0, kout - lg.send_ell.shape[1])),
+                constant_values=e_pad,
+            ),
+            # Static metadata must match across shards for stacking;
+            # n_edges records the GLOBAL level edge count.
+            n_edges=int(edges.shape[1]),
+        )
+        for lg in lgs
+    ]
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *lgs)
+    recv_clamped = np.where(
+        stacked.receivers < n_loc, stacked.receivers, n_loc - 1
+    ).astype(np.int32)
+    return level.replace(
+        senders_ext=stacked.senders,
+        receivers=stacked.receivers,  # EXT space (ghost slots >= n_loc)
+        ew=stacked.ew,
+        fiber=stacked.fiber,
+        edge_mask=stacked.edge_mask,
+        local=stacked,
+        recv_clamped=recv_clamped,
+    )
 
 
 def build_partition(
@@ -204,6 +348,8 @@ def build_partition(
     n_global_pad: int,
     pos: np.ndarray,
     block: int = 128,
+    local_layouts: bool = False,
+    edge_block: int = EDGE_BLOCK,
 ) -> PartitionPlan:
     """Partition raw bi-stride levels into an S-shard halo plan.
 
@@ -227,10 +373,15 @@ def build_partition(
     lvl_pos = smoothed_positions(levels, pos)
     for l, g in enumerate(graphs):
         deg_g = g.degrees().astype(np.float32)
-        lvl, owned, local_of = _partition_level(
+        lvl, owned, local_of, halo_lists = _partition_level(
             g.flat_edges, g.num_nodes, deg_g, ecs[l], lvl_pos[l],
             assignment, n_shards, block,
         )
+        if local_layouts:
+            lvl = _attach_ghost_layout(
+                lvl, g.flat_edges, ecs[l], lvl_pos[l], assignment,
+                owned, local_of, halo_lists, edge_block,
+            )
         halo_levels.append(lvl)
         owned_per_level.append(owned)
         local_per_level.append(local_of)

@@ -46,7 +46,7 @@ def _cfg(**model_kw):
     )
 
 
-def _setup(n_shards=4):
+def _setup(n_shards=4, local_layouts=False):
     cfg = _cfg()
     pos, cells = make_grid_mesh(9, 9)
     edges = to_flat_edge(cells, "tri")
@@ -54,7 +54,8 @@ def _setup(n_shards=4):
     levels = build_bistride_levels(edges, cfg.model.unet_depth, n, pos)
     h = pad_levels(levels, pad_multiple=32, pos=pos)
     n_pad = h.levels[0].n_pad_nodes
-    plan = build_partition(levels, n_shards, n_pad, pos, block=32)
+    plan = build_partition(levels, n_shards, n_pad, pos, block=32,
+                           local_layouts=local_layouts)
 
     rng = np.random.default_rng(3)
     node_in = np.zeros((n_pad, OUT + 3), np.float32)
@@ -125,8 +126,100 @@ def test_halo_primitives_match_global():
     )
 
 
-def test_halo_forward_matches_single_device():
-    cfg, h, plan, n, node_in, _, mask = _setup()
+@pytest.mark.parametrize("c", [5, 128])
+def test_ghost_primitives_match_global(c):
+    """The ghost-edge kernel layout (build_partition(local_layouts=True)):
+    gather_send / aggregate_recv / aggregate_send under shard_map equal the
+    global dense-graph operations. c=128 drives the Pallas segment kernels
+    (interpret mode on CPU); c=5 drives the XLA fallbacks."""
+    _, h, plan, n, _, _, _ = _setup(local_layouts=True)
+    level_g = h.levels[0]
+    level_s = plan.hierarchy.levels[0]
+    assert level_s.local is not None
+    rng = np.random.default_rng(0)
+    x = np.zeros((plan.n_global, c), np.float32)
+    x[:n] = rng.standard_normal((n, c))
+
+    mesh = make_mesh(1, 4)
+    x_sh = jnp.asarray(partition_nodes(plan, x))
+    from jax.sharding import PartitionSpec as P
+
+    spec = jax.tree_util.tree_map(lambda _: P("graph"), level_s)
+
+    def agg_roundtrip(lvl_s, xs):
+        lvl = jax.tree_util.tree_map(lambda a: a[0], lvl_s)
+        xe = h_gather_send(lvl, xs[0], "graph")
+        down = h_aggregate_recv(lvl, xe, "graph")
+        up = h_aggregate_send(lvl, xe, "graph")
+        return down[None], up[None]
+
+    down_s, up_s = jax.shard_map(
+        agg_roundtrip, mesh=mesh,
+        in_specs=(spec, P("graph")), out_specs=(P("graph"), P("graph")),
+        check_vma=False,
+    )(level_s, x_sh)
+
+    snd, rcv = level_g.senders, level_g.receivers
+    em = level_g.edge_mask
+    xe = x[snd] * em[:, None]
+    down_g = np.zeros_like(x)
+    np.add.at(down_g, rcv, xe)
+    up_g = np.zeros_like(x)
+    np.add.at(up_g, snd, xe)
+
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(down_s))[:n], down_g[:n],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(up_s))[:n], up_g[:n],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ghost_conv_pair_matches_global():
+    """Ghost transition convs (one ext gather + local kernel each way)
+    against the global weighted conv, values and adjointness."""
+    _, h, plan, n, _, _, _ = _setup(local_layouts=True)
+    from bsms_gnn_tpu.ops.message import edge_conv_down, edge_conv_up
+    from jax.sharding import PartitionSpec as P
+
+    level_g = h.levels[0]
+    level_s = plan.hierarchy.levels[0]
+    rng = np.random.default_rng(1)
+    c = 4
+    x = np.zeros((plan.n_global, c), np.float32)
+    x[:n] = rng.standard_normal((n, c))
+    mesh = make_mesh(1, 4)
+    x_sh = jnp.asarray(partition_nodes(plan, x))
+    spec = jax.tree_util.tree_map(lambda _: P("graph"), level_s)
+
+    def convs(lvl_s, xs):
+        lvl = jax.tree_util.tree_map(lambda a: a[0], lvl_s)
+        d = edge_conv_down(lvl, xs[0], None, "halo:graph")
+        u = edge_conv_up(lvl, xs[0], None, "halo:graph")
+        return d[None], u[None]
+
+    down_s, up_s = jax.shard_map(
+        convs, mesh=mesh, in_specs=(spec, P("graph")),
+        out_specs=(P("graph"), P("graph")), check_vma=False,
+    )(level_s, x_sh)
+
+    down_ref = np.asarray(edge_conv_down(level_g, jnp.asarray(x), None, "ell"))
+    up_ref = np.asarray(edge_conv_up(level_g, jnp.asarray(x), None, "ell"))
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(down_s))[:n], down_ref[:n],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(up_s))[:n], up_ref[:n],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("local_layouts", [False, True])
+def test_halo_forward_matches_single_device(local_layouts):
+    cfg, h, plan, n, node_in, _, mask = _setup(local_layouts=local_layouts)
     tr = Trainer(cfg)
     mesh = make_mesh(1, 4)
     fwd = make_halo_forward(tr, mesh, plan)
@@ -147,11 +240,14 @@ def test_halo_forward_matches_single_device():
     np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
-def test_halo_train_step_matches_single_device(n_shards):
+@pytest.mark.parametrize(
+    "n_shards,local_layouts",
+    [(2, False), (4, False), (8, False), (2, True), (4, True), (8, True)],
+)
+def test_halo_train_step_matches_single_device(n_shards, local_layouts):
     """Warmup step (normalizer stats) + two optimizer steps: loss, params,
     and statistics must match the unpartitioned trainer."""
-    cfg, h, plan, n, node_in, node_tar, mask = _setup(n_shards)
+    cfg, h, plan, n, node_in, node_tar, mask = _setup(n_shards, local_layouts)
 
     tr_ref = Trainer(cfg)
     key = jax.random.PRNGKey(5)
