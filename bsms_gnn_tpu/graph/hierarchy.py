@@ -191,6 +191,7 @@ def _pad_level(
     g: CsrGraph, n_pad: int, e_pad_min: int, ec: Optional[np.ndarray] = None,
     lvl_pos: Optional[np.ndarray] = None, edge_block: int = EDGE_BLOCK,
     window: int = 0, min_chunks: bool = True,
+    resid_e_pad_min: int = 0, force_resid: bool = False,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -299,7 +300,7 @@ def _pad_level(
         assert n_pad % (window // 2) == 0
         send_win, win_base, resid_level = _window_tables(
             senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
-            edge_block, n, lvl_pos,
+            edge_block, n, lvl_pos, resid_e_pad_min, force_resid,
         )
     return LevelGraph(
         senders=senders,
@@ -348,6 +349,8 @@ def _window_tables(
     edge_block: int,
     n: int,
     lvl_pos: Optional[np.ndarray],
+    resid_e_pad_min: int = 0,
+    force_resid: bool = False,
 ):
     """Per-CHUNK aligned source windows for the windowed one-hot gather
     kernel (ops/pallas/windowed.py).
@@ -392,12 +395,15 @@ def _window_tables(
 
     resid_level = None
     m = real & ~covered
-    if m.any():
+    if m.any() or force_resid:
+        # force_resid builds a (possibly empty) residual even when every
+        # edge is covered — per-shard halo layouts need identical treedefs
+        # across shards (parallel/partition.py stacks them leaf-wise).
         redges = np.stack([s64[m], receivers.astype(np.int64)[m]])
         # skip-empty layout: blocks with no residual edges get no slots
         # (aggregation must go through the accumulate kernels).
         resid_level = _pad_level(
-            CsrGraph(redges, n), n_pad, 0, ew[m], lvl_pos,
+            CsrGraph(redges, n), n_pad, resid_e_pad_min, ew[m], lvl_pos,
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
             min_chunks=False,
         )

@@ -93,6 +93,62 @@ def gmp_apply(
     w1 = params.mlp_edge.weights[0]
     wf, wi, wj = w1[:pd1], w1[pd1 : pd1 + c], w1[pd1 + c :]
 
+    mp = method.split(":")
+    if (
+        mp[0] == "halo"
+        and len(mp) > 2
+        and mp[2] == "fused"
+        and getattr(level, "local", None) is not None
+        and not dyn_dims
+    ):
+        # Ghost halo layout + windowed fused edge phase per shard: ship the
+        # [xwi | xj] halo rows in ONE all_to_all, run the v3 kernel on the
+        # extended tables (both gathers in-kernel), add the residual
+        # mini-layout, keep the owned rows. The ext assembly is plain jax
+        # (take + all_to_all over [S, H] rows), so autodiff routes the
+        # remote cotangents back through the transposed collective.
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase_win
+        from bsms_gnn_tpu.parallel.halo import _ext_assemble
+
+        lg = level.local
+        n_loc = level.n_pad_nodes
+        xwi = dense(x, wi, 0.0, compute_dtype)
+        xj = dense(x, wj, 0.0, compute_dtype)
+        pair = _ext_assemble(
+            level, jnp.concatenate([xwi, xj], axis=-1), mp[1]
+        )
+        ext_xwi, ext_xj = pair[..., :c], pair[..., c:]
+        wf8 = (
+            jnp.zeros((8, c), wf.dtype)
+            .at[:sfw].set(wf)
+            .at[sfw].set(params.mlp_edge.biases[0])
+        )
+        aggr = fused_edge_phase_win(
+            lg, ext_xwi, ext_xj, wf8,
+            params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
+        )
+        if aggr is not None:
+            if lg.resid is not None:
+                from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+
+                r = lg.resid
+                pre_r = (
+                    gather_send(r, ext_xwi, "pallas")
+                    + gather_recv(r, ext_xj, "pallas")
+                    + dense(r.fiber.astype(x.dtype), wf,
+                            params.mlp_edge.biases[0], compute_dtype)
+                )
+                e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+                acc = segment_sum_accum(r, e_r, aggr)
+                aggr = acc if acc is not None else aggr + aggregate_recv(
+                    r, e_r, "ell"
+                )
+            return _node_phase(
+                params, x, aggr[..., :n_loc, :], method, compute_dtype
+            )
+        # Kernel doesn't fit (no window tables / narrow C): fall through to
+        # the generic halo path.
+
     if method == "fused" and not dyn_dims:
         from bsms_gnn_tpu.ops.pallas.fused_gmp import (
             fused_edge_phase,

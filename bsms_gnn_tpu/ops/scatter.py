@@ -113,7 +113,9 @@ _aggregate_edges.defvjp(_aggregate_edges_fwd, _aggregate_edges_bwd)
 
 
 def _halo_axis(method: str):
-    return method.split(":", 1)[1] if method.startswith("halo:") else None
+    # "halo:<axis>" or "halo:<axis>:fused" (ghost layouts + fused GMP edge
+    # phase) — the axis is always the second segment.
+    return method.split(":")[1] if method.startswith("halo:") else None
 
 
 def _gather_with_pallas_bwd(level: LevelGraph, x, to_sender: bool):

@@ -224,25 +224,35 @@ def _aggregate_send_ghost(level: HaloLevel, feat, axis: str):
     return g(feat)
 
 
-def _conv_down_ghost_raw(level: HaloLevel, x, axis: str):
+def _conv_ghost_raw(level: HaloLevel, x, axis: str, up: bool):
+    """Transition conv on the ghost layout: Σ ew_e·x[send_e] by receiver
+    (down), and for up the RECEIVER-sum of x[senders]·ew∘reverse (symmetric
+    layout, offline `ew_rev` — Σ_{send(e)=n} ew_e·x[recv_e] rides each
+    edge's twin) — one ext gather + the local streaming kernel either way,
+    no sender-side collective at all (vs. the non-ghost path's return
+    all_to_all). On layouts built with `window` > 0 the gather itself moves
+    in-kernel (windowed one-hot selection + in-place residual accumulate —
+    ops/message.py::_windowed_conv)."""
     lg = level.local
-    ew = lg.ew.astype(x.dtype)
-    msg = jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
-    out = _kernel_recv_sum(lg, msg * ew[..., None])
+    ew = (lg.ew_rev if up else lg.ew).astype(x.dtype)
+    ext = _ext_assemble(level, x, axis)
+    out = None
+    if lg.window:
+        from bsms_gnn_tpu.ops.message import _windowed_conv
+
+        out = _windowed_conv(lg, ext, ew, up=up)
+    if out is None:
+        msg = jnp.take(ext, lg.senders, axis=-2)
+        out = _kernel_recv_sum(lg, msg * ew[..., None])
     return out[..., : level.n_pad_nodes, :].astype(x.dtype)
+
+
+def _conv_down_ghost_raw(level: HaloLevel, x, axis: str):
+    return _conv_ghost_raw(level, x, axis, up=False)
 
 
 def _conv_up_ghost_raw(level: HaloLevel, x, axis: str):
-    """Up conv on the ghost layout: Σ_{send(e)=n} ew_e·x[recv_e] equals the
-    RECEIVER-sum of x[senders]·ew∘reverse (symmetric layout, offline
-    `ew_rev`) — one ext gather + the same local streaming kernel, no
-    sender-side collective at all (vs. the non-ghost path's return
-    all_to_all)."""
-    lg = level.local
-    ew_rev = lg.ew_rev.astype(x.dtype)
-    msg = jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
-    out = _kernel_recv_sum(lg, msg * ew_rev[..., None])
-    return out[..., : level.n_pad_nodes, :].astype(x.dtype)
+    return _conv_ghost_raw(level, x, axis, up=True)
 
 
 def conv_down_ghost(level: HaloLevel, x, axis: str):
@@ -379,6 +389,15 @@ def _local(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
+def _halo_method(cfg, plan: PartitionPlan, axis: str) -> str:
+    """Aggregation method string for the sharded step: ghost layouts with
+    `aggregation: fused` run the windowed fused GMP edge phase per shard."""
+    ghosted = plan.hierarchy.levels[0].local is not None
+    if ghosted and cfg.model.aggregation == "fused":
+        return f"halo:{axis}:fused"
+    return f"halo:{axis}"
+
+
 def masked_rmse_psum(pred, tar, mask, axis: str):
     """√(Σ mask·se / Σ mask / C) with globally-psummed sums — identical to
     the reference loss (`trainer.py:96-97`) on the unpartitioned batch."""
@@ -409,7 +428,7 @@ def make_halo_train_step(trainer, mesh: Mesh, plan: PartitionPlan,
     from bsms_gnn_tpu.training.trainer import TrainState
 
     cfg = trainer.cfg
-    mcfg = dataclasses.replace(cfg.model, aggregation=f"halo:{axis}")
+    mcfg = dataclasses.replace(cfg.model, aggregation=_halo_method(cfg, plan, axis))
     hier = plan.hierarchy
 
     def inner(state, hier_s, node_in, node_tar, node_mask, key):
@@ -518,7 +537,9 @@ def make_halo_forward(trainer, mesh: Mesh, plan: PartitionPlan,
     shard-major predictions."""
     from bsms_gnn_tpu.models.simulator import simulator_forward
 
-    mcfg = dataclasses.replace(trainer.cfg.model, aggregation=f"halo:{axis}")
+    mcfg = dataclasses.replace(
+        trainer.cfg.model, aggregation=_halo_method(trainer.cfg, plan, axis)
+    )
     hier = plan.hierarchy
 
     def inner(sim, hier_s, node_in, node_mask):

@@ -248,6 +248,7 @@ def _attach_ghost_layout(
     local_of: np.ndarray,
     halo_lists: list,
     edge_block: int,
+    window: int = 0,
 ) -> HaloLevel:
     """Build the per-shard ghost-edge `LevelGraph`s (see `HaloLevel.local`)
     and rebase the level's edge-space fields onto their stacked layout.
@@ -261,7 +262,12 @@ def _attach_ghost_layout(
     S, H = level.n_shards, level.halo_width
     n_loc = level.deg.shape[-1]
     n_ext = n_loc + S * H
-    n_ext_pad = _pad_to(n_ext + 1, NODE_BLOCK)
+    align = NODE_BLOCK
+    if window:
+        # the windowed layout needs n_pad % (window // 2) == 0; window is a
+        # power-of-two >= 128, so max() covers both wh | 128 and 128 | wh.
+        align = max(NODE_BLOCK, window // 2)
+    n_ext_pad = _pad_to(n_ext + 1, align)
     snd = edges[0].astype(np.int64)
     rcv = edges[1].astype(np.int64)
     ec64 = np.asarray(ec, np.float64)
@@ -301,30 +307,51 @@ def _attach_ghost_layout(
     lgs = [
         _pad_level(
             CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
-            edge_block=edge_block,
+            edge_block=edge_block, window=window,
         )
         for le, ec_l, ext_pos in shard_inputs
     ]
-
-    e_pad = lgs[0].n_pad_edges
-    kin = max(lg.recv_ell.shape[1] for lg in lgs)
-    kout = max(lg.send_ell.shape[1] for lg in lgs)
-    lgs = [
-        lg.replace(
-            recv_ell=np.pad(
-                lg.recv_ell, ((0, 0), (0, kin - lg.recv_ell.shape[1])),
-                constant_values=e_pad,
-            ),
-            send_ell=np.pad(
-                lg.send_ell, ((0, 0), (0, kout - lg.send_ell.shape[1])),
-                constant_values=e_pad,
-            ),
-            # Static metadata must match across shards for stacking;
-            # n_edges records the GLOBAL level edge count.
-            n_edges=int(edges.shape[1]),
+    if window and any(lg.resid is not None for lg in lgs):
+        # Residual (out-of-window) sub-layouts must stack too: force one on
+        # every shard (possibly empty) at the max residual size.
+        resid_emax = max(
+            lg.resid.n_pad_edges for lg in lgs if lg.resid is not None
         )
-        for lg in lgs
-    ]
+        lgs = [
+            _pad_level(
+                CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
+                edge_block=edge_block, window=window,
+                resid_e_pad_min=resid_emax, force_resid=True,
+            )
+            for le, ec_l, ext_pos in shard_inputs
+        ]
+
+    def _unify_ells(lvls, n_edges_meta):
+        e_pad = lvls[0].n_pad_edges
+        kin = max(lg.recv_ell.shape[1] for lg in lvls)
+        kout = max(lg.send_ell.shape[1] for lg in lvls)
+        return [
+            lg.replace(
+                recv_ell=np.pad(
+                    lg.recv_ell, ((0, 0), (0, kin - lg.recv_ell.shape[1])),
+                    constant_values=e_pad,
+                ),
+                send_ell=np.pad(
+                    lg.send_ell, ((0, 0), (0, kout - lg.send_ell.shape[1])),
+                    constant_values=e_pad,
+                ),
+                # Static metadata must match across shards for stacking;
+                # n_edges records the GLOBAL level edge count.
+                n_edges=n_edges_meta,
+            )
+            for lg in lvls
+        ]
+
+    n_edges_meta = int(edges.shape[1])
+    lgs = _unify_ells(lgs, n_edges_meta)
+    if lgs[0].resid is not None:
+        resids = _unify_ells([lg.resid for lg in lgs], n_edges_meta)
+        lgs = [lg.replace(resid=r) for lg, r in zip(lgs, resids)]
     import jax
 
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *lgs)
@@ -350,6 +377,7 @@ def build_partition(
     block: int = 128,
     local_layouts: bool = False,
     edge_block: int = EDGE_BLOCK,
+    window: int = 0,
 ) -> PartitionPlan:
     """Partition raw bi-stride levels into an S-shard halo plan.
 
@@ -380,7 +408,7 @@ def build_partition(
         if local_layouts:
             lvl = _attach_ghost_layout(
                 lvl, g.flat_edges, ecs[l], lvl_pos[l], assignment,
-                owned, local_of, halo_lists, edge_block,
+                owned, local_of, halo_lists, edge_block, window,
             )
         halo_levels.append(lvl)
         owned_per_level.append(owned)

@@ -46,8 +46,8 @@ def _cfg(**model_kw):
     )
 
 
-def _setup(n_shards=4, local_layouts=False):
-    cfg = _cfg()
+def _setup(n_shards=4, local_layouts=False, window=0, **model_kw):
+    cfg = _cfg(**model_kw)
     pos, cells = make_grid_mesh(9, 9)
     edges = to_flat_edge(cells, "tri")
     n = pos.shape[0]
@@ -55,7 +55,7 @@ def _setup(n_shards=4, local_layouts=False):
     h = pad_levels(levels, pad_multiple=32, pos=pos)
     n_pad = h.levels[0].n_pad_nodes
     plan = build_partition(levels, n_shards, n_pad, pos, block=32,
-                           local_layouts=local_layouts)
+                           local_layouts=local_layouts, window=window)
 
     rng = np.random.default_rng(3)
     node_in = np.zeros((n_pad, OUT + 3), np.float32)
@@ -215,6 +215,78 @@ def test_ghost_conv_pair_matches_global():
         unpartition_nodes(plan, np.asarray(up_s))[:n], up_ref[:n],
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_ghost_windowed_conv_matches_global():
+    """Windowed ghost layouts (build_partition(window=128)): the per-shard
+    transition convs run the windowed one-hot kernel + residual accumulate
+    on the extended tables; values must match the global ell conv."""
+    _, h, plan, n, _, _, _ = _setup(local_layouts=True, window=128)
+    from bsms_gnn_tpu.ops.message import edge_conv_down, edge_conv_up
+    from jax.sharding import PartitionSpec as P
+
+    level_g = h.levels[0]
+    level_s = plan.hierarchy.levels[0]
+    assert level_s.local.window > 0
+    rng = np.random.default_rng(2)
+    c = 128  # kernel-eligible width
+    x = np.zeros((plan.n_global, c), np.float32)
+    x[:n] = rng.standard_normal((n, c))
+    mesh = make_mesh(1, 4)
+    x_sh = jnp.asarray(partition_nodes(plan, x))
+    spec = jax.tree_util.tree_map(lambda _: P("graph"), level_s)
+
+    def convs(lvl_s, xs):
+        lvl = jax.tree_util.tree_map(lambda a: a[0], lvl_s)
+        d = edge_conv_down(lvl, xs[0], None, "halo:graph")
+        u = edge_conv_up(lvl, xs[0], None, "halo:graph")
+        return d[None], u[None]
+
+    down_s, up_s = jax.shard_map(
+        convs, mesh=mesh, in_specs=(spec, P("graph")),
+        out_specs=(P("graph"), P("graph")), check_vma=False,
+    )(level_s, x_sh)
+
+    down_ref = np.asarray(edge_conv_down(level_g, jnp.asarray(x), None, "ell"))
+    up_ref = np.asarray(edge_conv_up(level_g, jnp.asarray(x), None, "ell"))
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(down_s))[:n], down_ref[:n],
+        rtol=5e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        unpartition_nodes(plan, np.asarray(up_s))[:n], up_ref[:n],
+        rtol=5e-5, atol=1e-5,
+    )
+
+
+def test_ghost_fused_forward_matches_single_device():
+    """Full sharded forward with the windowed fused GMP edge phase per
+    shard (aggregation=fused on a windowed ghost plan) vs the single-device
+    ell model."""
+    import dataclasses
+
+    cfg, h, plan, n, node_in, _, mask = _setup(
+        local_layouts=True, window=128, latent_dim=128,
+        aggregation="fused",
+    )
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+
+    ref_cfg = dataclasses.replace(cfg.model, aggregation="ell")
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), ref_cfg,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
 
 
 @pytest.mark.parametrize("local_layouts", [False, True])
