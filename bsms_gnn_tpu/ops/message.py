@@ -149,6 +149,86 @@ def gmp_apply(
         # Kernel doesn't fit (no window tables / narrow C): fall through to
         # the generic halo path.
 
+    if (
+        mp[0] == "halo"
+        and len(mp) > 2
+        and mp[2] == "fused"
+        and getattr(level, "local", None) is not None
+        and len(dyn_dims) == 1
+        and pos is not None
+        and dyn_dims[0] <= c
+    ):
+        # Ghost halo + v4 (windowed fused edge phase with one dynamic
+        # world-space stream — the contact cases on shards): ship
+        # [xwi | xj | world_pos] halo rows in ONE all_to_all, then run the
+        # single-chip v4 kernel on the extended tables (Δworld/‖Δworld‖
+        # computed in-kernel from the same one-hot selections).
+        from bsms_gnn_tpu.ops.pallas.fused_gmp import fused_edge_phase_win_dyn
+        from bsms_gnn_tpu.parallel.halo import _ext_assemble
+
+        lg = level.local
+        n_loc = level.n_pad_nodes
+        wd = dyn_dims[0]
+        xwi = dense(x, wi, 0.0, compute_dtype)
+        xj = dense(x, wj, 0.0, compute_dtype)
+        wpos = jax.lax.stop_gradient(pos).astype(xwi.dtype)
+        trio = _ext_assemble(
+            level, jnp.concatenate([xwi, xj, wpos], axis=-1), mp[1]
+        )
+        ext_xwi = trio[..., :c]
+        ext_xj = trio[..., c : 2 * c]
+        wpos_ext = trio[..., 2 * c :]
+        wf_dyn, wf_nrm, wf_sta = wf[:wd], wf[wd], wf[wd + 1 :]
+        wf8 = (
+            jnp.zeros((8, c), wf.dtype)
+            .at[:sfw].set(wf_sta)
+            .at[sfw].set(params.mlp_edge.biases[0])
+        )
+
+        def ext4(a):
+            w = jnp.broadcast_to(wpos_ext, a.shape[:-1] + (wd,))
+            padw = jnp.zeros(a.shape[:-1] + (c - wd,), a.dtype)
+            return jnp.concatenate([a, w, padw], axis=-1)
+
+        wfd_ext = jnp.zeros((c, c), jnp.float32).at[:wd].set(
+            wf_dyn.astype(jnp.float32)
+        )
+        wfn8 = jnp.zeros((8, c), jnp.float32).at[0].set(
+            wf_nrm.astype(jnp.float32)
+        )
+        aggr = fused_edge_phase_win_dyn(
+            lg, ext4(ext_xwi), ext4(ext_xj), wf8, wfd_ext, wfn8,
+            params.mlp_edge.weights[1:], params.mlp_edge.biases[1:], wd,
+        )
+        if aggr is not None:
+            if lg.resid is not None:
+                from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+
+                r = lg.resid
+                p_i = gather_send(r, wpos_ext, "pallas")
+                p_j = gather_recv(r, wpos_ext, "pallas")
+                dvec = p_i - p_j
+                fib_dyn = jnp.concatenate(
+                    [dvec, jnp.linalg.norm(dvec, axis=-1, keepdims=True)],
+                    axis=-1,
+                )
+                pre_r = (
+                    gather_send(r, ext_xwi, "pallas")
+                    + gather_recv(r, ext_xj, "pallas")
+                    + dense(fib_dyn, wf[: wd + 1], 0.0, compute_dtype)
+                    + dense(r.fiber.astype(x.dtype), wf_sta,
+                            params.mlp_edge.biases[0], compute_dtype)
+                )
+                e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+                acc = segment_sum_accum(r, e_r, aggr)
+                aggr = acc if acc is not None else aggr + aggregate_recv(
+                    r, e_r, "ell"
+                )
+            return _node_phase(
+                params, x, aggr[..., :n_loc, :], method, compute_dtype
+            )
+        # Fall through to the generic halo path.
+
     if method == "fused" and not dyn_dims:
         from bsms_gnn_tpu.ops.pallas.fused_gmp import (
             fused_edge_phase,

@@ -289,6 +289,40 @@ def test_ghost_fused_forward_matches_single_device():
     np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
 
 
+def test_ghost_fused_world_edges_forward():
+    """Contact-case recipe on shards: world-space dynamic fibers through the
+    v4 windowed fused edge phase per shard vs the single-device ell model."""
+    import dataclasses
+
+    cfg, h, plan, n, node_in, _, mask = _setup(
+        local_layouts=True, window=128, latent_dim=128,
+        aggregation="fused", world_edges=True, world_dim=2,
+    )
+    # world_edges: the first world_dim output channels are world positions.
+    pos, _ = make_grid_mesh(9, 9)
+    node_in = node_in.copy()
+    node_in[:n, :2] = pos * 1.03 + 0.01
+
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+
+    ref_cfg = dataclasses.replace(cfg.model, aggregation="ell")
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), ref_cfg,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.parametrize("local_layouts", [False, True])
 def test_halo_forward_matches_single_device(local_layouts):
     cfg, h, plan, n, node_in, _, mask = _setup(local_layouts=local_layouts)
