@@ -66,15 +66,26 @@ class BucketPlan:
     """Per-level padded shapes, grouped into K size buckets. Each trajectory
     belongs to one group; all meshes in a group pad to the group's shapes,
     so small meshes stop paying for the dataset's largest (SURVEY.md §7.1
-    "per-bucket (N_max, E_max) padding"). One XLA program compiles per
-    group."""
+    "per-bucket (N_max, E_max) padding"). EVERY array shape is pinned —
+    node/edge pads, ELL widths, windowed residual sub-layouts — so one XLA
+    program truly compiles per group (max-degree and residual-size
+    variation would otherwise recompile per trajectory)."""
 
-    groups: List[dict]  # each: {"node_buckets": [...], "edge_buckets": [...]}
+    groups: List[dict]  # {"node_buckets", "edge_buckets", "ell_buckets",
+    #                      "resid_buckets" ([e_pad, k] per level)}
     file_group: dict  # "split/basename" -> group index
 
-    def for_file(self, path: str) -> Tuple[List[int], List[int]]:
+    def for_file(self, path: str) -> dict:
         g = self.groups[self.file_group[_plan_key(path)]]
-        return g["node_buckets"], g["edge_buckets"]
+        return {
+            "node_buckets": g["node_buckets"],
+            "edge_buckets": g["edge_buckets"],
+            "ell_buckets": g.get("ell_buckets"),
+            "resid_buckets": (
+                None if g.get("resid_buckets") is None
+                else [tuple(r) for r in g["resid_buckets"]]
+            ),
+        }
 
 
 def _plan_key(path: str) -> str:
@@ -87,8 +98,17 @@ def _load_levels_for(cfg: DatasetConfig, path: str):
     with h5py.File(path, "r") as f:
         cells = np.asarray(f["cells"][0])
         pos = np.asarray(f["mesh_pos"][0], np.float64)
-    edges = to_flat_edge(cells, cfg.mesh_type)
     name = os.path.splitext(os.path.basename(path))[0]
+    if cfg.window:
+        # Match TrajectoryReader's Morton relabeling exactly — the edge
+        # layout sizes depend on how receivers distribute over 128-node
+        # blocks, so the plan must measure the reordered graph (and use the
+        # reader's "_mrt" cache name).
+        from bsms_gnn_tpu.graph.order import reorder_mesh
+
+        pos, cells, _, _ = reorder_mesh(pos, cells)
+        name += "_mrt"
+    edges = to_flat_edge(cells, cfg.mesh_type)
     return load_or_build_levels(
         os.path.dirname(path), name, edges, cfg.unet_depth, pos.shape[0], pos
     )
@@ -116,12 +136,15 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
         cfg.root, cfg.name,
         f"tpu_buckets_d{cfg.unet_depth}_p{cfg.pad_multiple}_k{k}"
         + (f"_eb{cfg.edge_block}" if cfg.edge_block != 128 else "")
+        + (f"_w{cfg.window}" if cfg.window else "")
         + ".json",
     )
     if os.path.isfile(plan_path):
         with open(plan_path) as f:
             plan = json.load(f)
-        if plan.get("n_files") == len(all_files):
+        if plan.get("n_files") == len(all_files) and all(
+            "ell_buckets" in g for g in plan.get("groups", [])
+        ):
             return BucketPlan(plan["groups"], plan["file_group"])
 
     from bsms_gnn_tpu.graph.hierarchy import NODE_BLOCK, layout_edge_count
@@ -137,6 +160,9 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
     group_lists = [list(g) for g in np.array_split(np.asarray(order), k) if len(g)]
 
     m = max(cfg.pad_multiple, NODE_BLOCK)
+    if cfg.window:
+        # windowed layouts need node pads to be window/2-aligned
+        m = max(m, cfg.window // 2)
     groups = []
     file_group = {}
     for gi, files in enumerate(group_lists):
@@ -146,18 +172,58 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
             file_group[_plan_key(path)] = gi
         node_buckets = [int(-(-(n + 1) // m) * m) for n in n_max]
         # Pass 2 (this group only): edge buckets must cover every member's
-        # block-aligned layout exactly.
-        edge_buckets = [0] * (cfg.unet_depth + 1)
+        # block-aligned layout exactly; ELL widths (max degree) and — on
+        # windowed datasets — the residual sub-layout shapes are pinned to
+        # the group maxima too, so the group compiles ONE program.
+        nl = cfg.unet_depth + 1
+        edge_buckets = [0] * nl
+        ell_buckets = [0] * nl
+        resid_buckets = [[0, 0] for _ in range(nl)]
         for path in files:
             levels = _load_levels_for(cfg, path)  # cache hit after pass 1
             for l, g in enumerate(levels.graphs):
-                counts = np.bincount(g.flat_edges[1], minlength=node_buckets[l])
-                edge_buckets[l] = max(
-                    edge_buckets[l],
-                    layout_edge_count(counts, node_buckets[l], cfg.edge_block),
-                )
+                if cfg.window:
+                    # build the actual layout once (offline, plan-cached) to
+                    # read the residual shapes the window tables produce
+                    from bsms_gnn_tpu.graph.hierarchy import _pad_level
+                    from bsms_gnn_tpu.graph.csr import CsrGraph
+
+                    lg = _pad_level(
+                        CsrGraph(g.flat_edges, g.num_nodes), node_buckets[l],
+                        0, None, None, edge_block=cfg.edge_block,
+                        window=cfg.window,
+                    )
+                    edge_buckets[l] = max(edge_buckets[l], lg.n_pad_edges)
+                    ell_buckets[l] = max(
+                        ell_buckets[l], lg.recv_ell.shape[1],
+                        lg.send_ell.shape[1],
+                    )
+                    if lg.resid is not None:
+                        resid_buckets[l][0] = max(
+                            resid_buckets[l][0], lg.resid.n_pad_edges
+                        )
+                        resid_buckets[l][1] = max(
+                            resid_buckets[l][1], lg.resid.recv_ell.shape[1],
+                            lg.resid.send_ell.shape[1],
+                        )
+                else:
+                    counts = np.bincount(
+                        g.flat_edges[1], minlength=node_buckets[l]
+                    )
+                    edge_buckets[l] = max(
+                        edge_buckets[l],
+                        layout_edge_count(counts, node_buckets[l],
+                                          cfg.edge_block),
+                    )
+                    ell_buckets[l] = max(
+                        ell_buckets[l], int(counts.max()) if counts.size else 1,
+                    )
             del levels
-        groups.append({"node_buckets": node_buckets, "edge_buckets": edge_buckets})
+        groups.append({
+            "node_buckets": node_buckets, "edge_buckets": edge_buckets,
+            "ell_buckets": ell_buckets,
+            "resid_buckets": resid_buckets if cfg.window else None,
+        })
 
     with open(plan_path, "w") as f:
         json.dump(
@@ -206,8 +272,8 @@ class TrajectorySampler:
         with self._readers_lock:
             r = self._readers.get(path)
         if r is None:
-            nb, eb = (None, None) if self.plan is None else self.plan.for_file(path)
-            r = TrajectoryReader(self.cfg, path, nb, eb)
+            bk = {} if self.plan is None else self.plan.for_file(path)
+            r = TrajectoryReader(self.cfg, path, **bk)
             with self._readers_lock:
                 self._readers[path] = r
         return r
@@ -304,7 +370,7 @@ def rollout_iterator(
     targets [T-1, N_pad, C], masks [T-1, N_pad, 1])."""
     plan = None if cfg.consist_mesh else plan_buckets(cfg, "rollout")
     for path in dataset_files(cfg, "rollout"):
-        nb, eb = (None, None) if plan is None else plan.for_file(path)
-        reader = TrajectoryReader(cfg, path, nb, eb)
+        bk = {} if plan is None else plan.for_file(path)
+        reader = TrajectoryReader(cfg, path, **bk)
         inp, tar, mask = reader.full()
         yield reader, inp, tar, mask

@@ -39,6 +39,8 @@ class TrajectoryReader:
         file_path: str,
         node_buckets: Optional[List[int]] = None,
         edge_buckets: Optional[List[int]] = None,
+        ell_buckets: Optional[List[int]] = None,
+        resid_buckets: Optional[List] = None,
     ):
         self.cfg = cfg
         self.file_path = file_path
@@ -57,11 +59,6 @@ class TrajectoryReader:
         # node space; `node_perm` maps new id → original id for export).
         self.node_perm: Optional[np.ndarray] = None
         if cfg.window:
-            if node_buckets is not None or edge_buckets is not None:
-                raise ValueError(
-                    "datasets.window requires a consistent-mesh, unbucketed "
-                    "dataset (shape bucketing relabels nothing)"
-                )
             from bsms_gnn_tpu.graph.order import morton_perm
 
             perm = morton_perm(self.mesh_pos0)
@@ -86,6 +83,11 @@ class TrajectoryReader:
             if cfg.consist_mesh
             else os.path.splitext(os.path.basename(file_path))[0]
         )
+        if cfg.window:
+            # The raw-levels cache is keyed by name only (not content):
+            # Morton-reordered levels must not collide with the original
+            # ordering's cache when `window` is toggled on a dataset dir.
+            cache_name += "_mrt"
         flat_edges = to_flat_edge(self.cells, cfg.mesh_type)
         self.hierarchy: Hierarchy = load_or_build_hierarchy(
             cache_dir,
@@ -99,6 +101,8 @@ class TrajectoryReader:
             edge_buckets=edge_buckets,
             edge_block=cfg.edge_block,
             window=cfg.window,
+            ell_buckets=ell_buckets,
+            resid_buckets=resid_buckets,
         )
         self.n_pad = self.hierarchy.levels[0].n_pad_nodes
 

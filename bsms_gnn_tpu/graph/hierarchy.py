@@ -157,12 +157,15 @@ class Hierarchy:
         return len(self.transitions)
 
 
-def _build_ell(index: np.ndarray, slots: np.ndarray, n_pad: int, e_pad: int) -> np.ndarray:
+def _build_ell(index: np.ndarray, slots: np.ndarray, n_pad: int, e_pad: int,
+               k_min: int = 0) -> np.ndarray:
     """ELL table: row n lists the layout slots (from `slots`) whose `index`
-    value equals n, padded with e_pad. K = max multiplicity over nodes."""
+    value equals n, padded with e_pad. K = max multiplicity over nodes (or
+    `k_min` if larger — shape-bucketed datasets force a common width so one
+    program serves every mesh of a group)."""
     idx = np.asarray(index, np.int64)
     counts = np.bincount(idx, minlength=n_pad)
-    k = max(int(counts.max()) if counts.size else 0, 1)
+    k = max(int(counts.max()) if counts.size else 0, 1, k_min)
     ell = np.full((n_pad, k), e_pad, dtype=np.int32)
     order = np.argsort(idx, kind="stable")
     sorted_idx = idx[order]
@@ -192,6 +195,7 @@ def _pad_level(
     lvl_pos: Optional[np.ndarray] = None, edge_block: int = EDGE_BLOCK,
     window: int = 0, min_chunks: bool = True,
     resid_e_pad_min: int = 0, force_resid: bool = False,
+    ell_k_min: int = 0, resid_ell_k_min: int = 0,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -271,8 +275,8 @@ def _pad_level(
     recv_indptr[n_pad] = e_pad
     recv_indptr = recv_indptr.astype(np.int32)
 
-    recv_ell = _build_ell(r_sorted, slots, n_pad, e_pad)
-    send_ell = _build_ell(s_sorted, slots, n_pad, e_pad)
+    recv_ell = _build_ell(r_sorted, slots, n_pad, e_pad, ell_k_min)
+    send_ell = _build_ell(s_sorted, slots, n_pad, e_pad, ell_k_min)
 
     deg = np.zeros(n_pad, dtype=np.float32)
     deg[:n] = g.degrees().astype(np.float32)
@@ -301,6 +305,7 @@ def _pad_level(
         send_win, win_base, resid_level = _window_tables(
             senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
             edge_block, n, lvl_pos, resid_e_pad_min, force_resid,
+            resid_ell_k_min,
         )
     return LevelGraph(
         senders=senders,
@@ -351,6 +356,7 @@ def _window_tables(
     lvl_pos: Optional[np.ndarray],
     resid_e_pad_min: int = 0,
     force_resid: bool = False,
+    resid_ell_k_min: int = 0,
 ):
     """Per-CHUNK aligned source windows for the windowed one-hot gather
     kernel (ops/pallas/windowed.py).
@@ -405,7 +411,7 @@ def _window_tables(
         resid_level = _pad_level(
             CsrGraph(redges, n), n_pad, resid_e_pad_min, ew[m], lvl_pos,
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
-            min_chunks=False,
+            min_chunks=False, ell_k_min=resid_ell_k_min,
         )
     return send_win, win_base, resid_level
 
@@ -445,7 +451,15 @@ def pad_levels(
     pos: Optional[np.ndarray] = None,
     edge_block: int = EDGE_BLOCK,
     window: int = 0,
+    ell_buckets: Optional[List[int]] = None,
+    resid_buckets: Optional[List[Tuple[int, int]]] = None,
 ) -> Hierarchy:
+    """`ell_buckets` (per-level ELL width) and `resid_buckets` (per-level
+    (E_pad, ELL width) of the windowed residual sub-layout, with (0, 0)
+    meaning "force an empty residual") let the bucket planner pin EVERY
+    array shape of a group, so one compiled program truly serves all of a
+    group's meshes (the max-degree/ residual-size variation would otherwise
+    recompile per trajectory)."""
     graphs, ids = levels.graphs, levels.ids
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
@@ -458,7 +472,14 @@ def pad_levels(
             n_pad = node_buckets[l]
             assert n_pad > g.num_nodes, f"node bucket {n_pad} too small at level {l}"
             assert n_pad % NODE_BLOCK == 0, f"node bucket {n_pad} not {NODE_BLOCK}-aligned"
-            assert not window, "windowed layout not supported with buckets"
+            if window:
+                # bucketed variable-mesh datasets may window too (the
+                # sampler never mixes meshes within a batch, so per-mesh
+                # window/residual table shapes only affect compile reuse,
+                # not correctness); buckets must be window/2-aligned.
+                assert n_pad % (min(window, n_pad) // 2) == 0, (
+                    f"node bucket {n_pad} not aligned to window/2"
+                )
         else:
             n_pad = _pad_to(g.num_nodes + 1, node_multiple)
         e = g.flat_edges.shape[1]
@@ -476,9 +497,29 @@ def pad_levels(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
             edge_block=edge_block, window=window,
+            ell_k_min=0 if ell_buckets is None else ell_buckets[l],
+            resid_e_pad_min=0 if resid_buckets is None else resid_buckets[l][0],
+            force_resid=(
+                resid_buckets is not None and resid_buckets[l][0] > 0
+            ),
+            resid_ell_k_min=0 if resid_buckets is None else resid_buckets[l][1],
         )
         for l, g in enumerate(graphs)
     )
+    if resid_buckets is not None:
+        eb_r = min(edge_block, EDGE_BLOCK)
+        for l, g in enumerate(lvl_graphs):
+            want = resid_buckets[l][0]
+            if want == 0:
+                assert g.resid is None, (
+                    f"level {l}: mesh has residual edges but the group "
+                    f"bucket says none — rebuild the bucket plan"
+                )
+            else:
+                assert g.resid.n_pad_edges == _pad_to(want, eb_r), (
+                    f"level {l}: residual layout {g.resid.n_pad_edges} != "
+                    f"bucket {want}"
+                )
     if edge_buckets is not None:
         # Stacking across meshes requires every mesh to land on the exact
         # bucket size, i.e. the bucket must cover the block-aligned layout.
@@ -525,11 +566,14 @@ def _atomic_savez(path: str, arrays: dict) -> None:
 def _cache_key(
     num_layers: int, pad_multiple: int, node_buckets, edge_buckets,
     edge_block: int = EDGE_BLOCK, window: int = 0,
+    ell_buckets=None, resid_buckets=None,
 ) -> str:
     blob = (
         f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}"
         f"|{edge_buckets}|eb{edge_block}|w{window}"
     )
+    if ell_buckets is not None or resid_buckets is not None:
+        blob += f"|k{ell_buckets}|r{resid_buckets}"
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 
@@ -662,12 +706,14 @@ def load_or_build_hierarchy(
     edge_buckets: Optional[List[int]] = None,
     edge_block: int = EDGE_BLOCK,
     window: int = 0,
+    ell_buckets: Optional[List[int]] = None,
+    resid_buckets: Optional[List[Tuple[int, int]]] = None,
 ) -> Hierarchy:
     """Cache-through build. `cache_name` should be shared across trajectories
     when the dataset has a consistent mesh (one build serves all, matching
     reference `base.py:98-101` cache-sharing) and per-trajectory otherwise."""
     key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets,
-                     edge_block, window)
+                     edge_block, window, ell_buckets, resid_buckets)
     path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
     if os.path.isfile(path):
         try:
@@ -680,6 +726,7 @@ def load_or_build_hierarchy(
     h = pad_levels(
         levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
         edge_block=edge_block, window=window,
+        ell_buckets=ell_buckets, resid_buckets=resid_buckets,
     )
     os.makedirs(cache_dir, exist_ok=True)
     save_hierarchy(path, h)

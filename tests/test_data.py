@@ -181,10 +181,14 @@ def test_multi_bucket_skewed_dataset(tmp_path):
     s = TrajectorySampler(cfg.datasets, batch_size=2, num_workers=1, mode="train")
     key = jax.random.PRNGKey(0)
     seen_shapes = set()
+    hier_sigs = set()
     try:
         for i in range(6):
             b = next(s)
             seen_shapes.add(b.node_in.shape[1])
+            hier_sigs.add(tuple(
+                tuple(a.shape) for a in jax.tree_util.tree_leaves(b.hierarchy)
+            ))
             loss = float(tr.iter(
                 b.hierarchy, jnp.asarray(b.node_in), jnp.asarray(b.node_tar),
                 jnp.asarray(b.node_mask), jax.random.fold_in(key, i),
@@ -193,6 +197,10 @@ def test_multi_bucket_skewed_dataset(tmp_path):
     finally:
         s.close()
     assert len(seen_shapes) >= 2, f"only one bucket shape sampled: {seen_shapes}"
+    # ELL widths are bucket-pinned too: one compiled program per group.
+    assert len(hier_sigs) <= 2, (
+        f"{len(hier_sigs)} distinct hierarchy shapes for 2 groups"
+    )
 
 
 def test_end_to_end_consistent(synth_consistent):

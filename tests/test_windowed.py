@@ -676,3 +676,120 @@ def test_window_clamps_to_tiny_levels():
             edge_conv_down(g0, x[: g0.n_pad_nodes], None, "ell"))
         np.testing.assert_allclose(
             a[: g.n_nodes], b[: g.n_nodes], rtol=2e-5, atol=1e-6)
+
+
+def test_dataset_window_with_buckets(tmp_path):
+    """datasets.window combined with size-bucketed variable meshes: the
+    planner measures the Morton-reordered graphs (same "_mrt" levels cache
+    as the reader), node buckets align to window/2, windowed hierarchies
+    build per trajectory, and predictions match the unwindowed reader up to
+    the stored permutation. Training streams both bucket shapes."""
+    import glob
+    import shutil
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data import TrajectorySampler, generate_synthetic_dataset
+    from bsms_gnn_tpu.data.pipeline import plan_buckets
+    from bsms_gnn_tpu.data.trajectory import TrajectoryReader
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+    from bsms_gnn_tpu.training import Trainer
+
+    root = str(tmp_path)
+    small = generate_synthetic_dataset(
+        root + "/small", "synthetic_cylinder_flow", n_train=2, n_test=1,
+        n_nodes=150, n_frames=5, consistent_mesh=False, with_density=False,
+        seed=5,
+    )
+    big = generate_synthetic_dataset(
+        root + "/big", "synthetic_cylinder_flow", n_train=2, n_test=1,
+        n_nodes=520, n_frames=5, consistent_mesh=False, with_density=False,
+        seed=6,
+    )
+    base = os.path.join(root, "synthetic_cylinder_flow")
+    for split in ("train", "test"):
+        os.makedirs(os.path.join(base, split), exist_ok=True)
+        idx = 0
+        for src in (small, big):
+            for f in sorted(os.listdir(os.path.join(src, split))):
+                shutil.copy(os.path.join(src, split, f),
+                            os.path.join(base, split, f"{idx}.h5"))
+                idx += 1
+
+    over = [
+        "datasets=cylinder_flow", "datasets.unet_depth=2",
+        "model.unet_depth=2", "model.latent_dim=128",
+        "datasets.pad_multiple=32", "datasets.size_buckets=2",
+        "model.aggregation=pallas",
+    ]
+    cfg_w = load_config(over + ["datasets.window=128"])
+    cfg_0 = load_config(over)
+    for c in (cfg_w, cfg_0):
+        c.datasets.name = "synthetic_cylinder_flow"
+        c.datasets.root = root
+
+    plan = plan_buckets(cfg_w.datasets, "train")
+    assert len(plan.groups) == 2
+    for g in plan.groups:
+        for nb in g["node_buckets"]:
+            assert nb % 64 == 0  # window/2 alignment
+
+    f = sorted(glob.glob(os.path.join(base, "test", "*.h5")))[0]
+    rd_w = TrajectoryReader(cfg_w.datasets, f, **plan.for_file(f))
+    assert rd_w.hierarchy.levels[0].window > 0
+    assert rd_w.node_perm is not None
+    rd_0 = TrajectoryReader(cfg_0.datasets, f)
+    n = rd_0.n_nodes
+
+    state = init_simulator(jax.random.PRNGKey(0), cfg_w.model)
+
+    def fwd(rd, cfg):
+        ni = jnp.asarray(rd.node_in[0])
+        m = jnp.asarray(rd.node_mask[0])
+        return np.asarray(
+            jax.jit(
+                lambda ni, m: simulator_forward(
+                    state.params, state.norm_in, state.norm_out,
+                    rd.hierarchy, ni, m, cfg.model,
+                )
+            )(ni, m)
+        )
+
+    p_w = fwd(rd_w, cfg_w)
+    p_0 = fwd(rd_0, cfg_0)
+    np.testing.assert_allclose(p_w[:n], p_0[rd_w.node_perm], rtol=5e-5,
+                               atol=1e-5)
+
+    # Training mechanics across both bucket shapes (tiny width for speed).
+    cfg_t = load_config([
+        "datasets=cylinder_flow", "datasets.unet_depth=2",
+        "model.unet_depth=2", "model.latent_dim=16", "model.hidden_layer=1",
+        "model.accumulation_steps=1", "datasets.pad_multiple=32",
+        "datasets.size_buckets=2", "datasets.window=128",
+        "opt.warmup_steps=2", "opt.decay_steps=20", "batch=2",
+    ])
+    cfg_t.datasets.name = "synthetic_cylinder_flow"
+    cfg_t.datasets.root = root
+    tr = Trainer(cfg_t)
+    s = TrajectorySampler(cfg_t.datasets, batch_size=2, num_workers=1,
+                          mode="train")
+    key = jax.random.PRNGKey(0)
+    seen = set()
+    sigs = set()
+    try:
+        for i in range(6):
+            b = next(s)
+            seen.add(b.node_in.shape[1])
+            sigs.add(tuple(
+                tuple(a.shape) for a in jax.tree_util.tree_leaves(b.hierarchy)
+            ))
+            loss = float(tr.iter(
+                b.hierarchy, jnp.asarray(b.node_in), jnp.asarray(b.node_tar),
+                jnp.asarray(b.node_mask), jax.random.fold_in(key, i),
+            ))
+            assert np.isfinite(loss)
+    finally:
+        s.close()
+    assert len(seen) >= 2, f"only one bucket shape sampled: {seen}"
+    # EVERY shape is bucket-pinned (ELL widths, residual sub-layouts):
+    # one program per group, even on windowed layouts.
+    assert len(sigs) <= 2, f"{len(sigs)} distinct hierarchy shapes for 2 groups"
