@@ -1,0 +1,107 @@
+"""Halo-partitioned scaling efficiency — the BASELINE.md multi-host row
+(">=80% edges/s scaling efficiency at >=2 hosts; measured at 1 chip / 1
+host / N hosts").
+
+Builds one mesh, partitions it S ways (ghost-edge kernel layouts), times
+the sharded forward at each shard count on the first S devices, and
+reports edges/s + efficiency vs the single-shard run. On a single real
+chip this degenerates to a layout-overhead check; on a pod slice (or the
+8-virtual-device CPU mesh with JAX_PLATFORMS=cpu) it is the real scaling
+curve.
+
+Usage: python benchmarks/halo_scaling.py [n_nodes] [depth] [shard counts...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512):
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data.synthetic import make_graded_airfoil_mesh
+    from bsms_gnn_tpu.graph.bistride import build_bistride_levels
+    from bsms_gnn_tpu.graph.hierarchy import pad_levels
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.graph.order import reorder_mesh
+    from bsms_gnn_tpu.parallel import (
+        build_partition,
+        make_halo_forward,
+        make_mesh,
+        partition_nodes,
+    )
+    from bsms_gnn_tpu.training import Trainer
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+    from bsms_gnn_tpu.utils.timing import pipelined_timeit
+
+    enable_compilation_cache()
+    n_dev = len(jax.devices())
+    shards = [s for s in shards if s <= n_dev]
+
+    cfg = load_config([
+        f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+        "model.aggregation=fused",
+    ])
+    rng = np.random.default_rng(0)
+    pos, cells, node_type = make_graded_airfoil_mesh(n_nodes, rng)
+    pos, cells, (node_type,), _ = reorder_mesh(pos, cells, (node_type,))
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    levels = build_bistride_levels(edges, depth, n, pos.astype(np.float64))
+    h = pad_levels(levels, pad_multiple=128, pos=pos.astype(np.float64))
+    n_pad = h.levels[0].n_pad_nodes
+    total_edges = sum(
+        g.flat_edges.shape[1] * (1 if l == depth else 2)
+        for l, g in enumerate(levels.graphs)
+    )
+
+    c, pd = cfg.model.out_dim, cfg.model.pos_dim
+    node_in = np.zeros((n_pad, c + pd + 1), np.float32)
+    node_in[:n, :c] = rng.standard_normal((n, c))
+    node_in[:n, c:c + pd] = pos
+    node_in[:n, -1:] = node_type
+    mask = np.zeros((n_pad, 1), np.float32)
+    mask[:n] = 1.0
+
+    base_eps = None
+    for s in shards:
+        plan = build_partition(
+            levels, s, n_pad, pos.astype(np.float64),
+            local_layouts=True, edge_block=min(512, 128 if s > 4 else 512),
+            window=window,
+        )
+        tr = Trainer(cfg)
+        mesh = make_mesh(1, s, devices=jax.devices()[:s])
+        fwd = make_halo_forward(tr, mesh, plan)
+        ni = jnp.asarray(partition_nodes(plan, node_in))
+        nm = jnp.asarray(partition_nodes(plan, mask))
+        out = fwd(tr.state.sim, ni, nm)
+        assert np.all(np.isfinite(np.asarray(out)[:, : min(64, n), :]))
+        t = pipelined_timeit(lambda: fwd(tr.state.sim, ni, nm), steps=20,
+                             warmup=2)
+        eps = total_edges / t
+        if base_eps is None:
+            base_eps = eps
+        eff = eps / (base_eps * s / shards[0])
+        print(
+            f"shards={s}: {1e3 * t:8.2f} ms/fwd  {eps / 1e6:9.1f} Medges/s  "
+            f"scaling-eff {100 * eff:5.1f}%",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(
+        int(a[0]) if a else 20000,
+        int(a[1]) if len(a) > 1 else 6,
+        tuple(int(x) for x in a[2:]) or (1, 2, 4, 8),
+    )

@@ -36,5 +36,6 @@ from bsms_gnn_tpu.parallel.partition import (  # noqa: F401
 )
 from bsms_gnn_tpu.parallel.halo import (  # noqa: F401
     make_halo_forward,
+    make_halo_rollout,
     make_halo_train_step,
 )

@@ -34,6 +34,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bsms_gnn_tpu.parallel.partition import HaloLevel, PartitionPlan
@@ -398,6 +399,25 @@ def _halo_method(cfg, plan: PartitionPlan, axis: str) -> str:
     return f"halo:{axis}"
 
 
+def _put_sharded(tree, mesh: Mesh, axis: str):
+    """Shard a host-replicated pytree over `axis` (leading dim). Uses
+    make_array_from_callback — every process supplies its addressable
+    shards from its (identical) host copy — instead of a multihost
+    device_put, whose cross-process equality verification is both a
+    collective round-trip and flaky on f64 leaves under x64-off
+    canonicalization."""
+
+    def put(a):
+        arr = np.asarray(a)
+        dt = jax.dtypes.canonicalize_dtype(arr.dtype)
+        if dt != arr.dtype:
+            arr = arr.astype(dt)
+        sh = NamedSharding(mesh, P(axis))
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def masked_rmse_psum(pred, tar, mask, axis: str):
     """√(Σ mask·se / Σ mask / C) with globally-psummed sums — identical to
     the reference loss (`trainer.py:96-97`) on the unpartitioned batch."""
@@ -506,17 +526,15 @@ def make_halo_train_step(trainer, mesh: Mesh, plan: PartitionPlan,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    hier_dev = jax.device_put(
-        hier, jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P(axis)), hier
-        )
-    )
+    hier_dev = _put_sharded(hier, mesh, axis)
 
     n_shards = hier.levels[0].n_shards
 
+    # hier_dev rides as an ARGUMENT: jit may not close over arrays that
+    # span non-addressable devices (multi-process meshes).
     @partial(jax.jit, donate_argnums=(0,))
-    def jit_step(state, node_in, node_tar, node_mask, key):
-        return mapped(state, hier_dev, node_in, node_tar, node_mask, key)
+    def jit_step(state, hier_arg, node_in, node_tar, node_mask, key):
+        return mapped(state, hier_arg, node_in, node_tar, node_mask, key)
 
     def step(state, node_in, node_tar, node_mask, key):
         for name, a in (("node_in", node_in), ("node_tar", node_tar),
@@ -526,7 +544,7 @@ def make_halo_train_step(trainer, mesh: Mesh, plan: PartitionPlan,
                     f"{name} must be shard-major [S={n_shards}, ..., N_loc, C] "
                     f"(use partition_nodes), got shape {a.shape}"
                 )
-        return jit_step(state, node_in, node_tar, node_mask, key)
+        return jit_step(state, hier_dev, node_in, node_tar, node_mask, key)
 
     return step
 
@@ -558,14 +576,65 @@ def make_halo_forward(trainer, mesh: Mesh, plan: PartitionPlan,
         out_specs=P(axis),
         check_vma=False,
     )
-    hier_dev = jax.device_put(
-        hier, jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P(axis)), hier
-        )
-    )
+    hier_dev = _put_sharded(hier, mesh, axis)
 
     @jax.jit
+    def _fwd(sim, hier_arg, node_in, node_mask):
+        return mapped(sim, hier_arg, node_in, node_mask)
+
     def fwd(sim, node_in, node_mask):
-        return mapped(sim, hier_dev, node_in, node_mask)
+        return _fwd(sim, hier_dev, node_in, node_mask)
 
     return fwd
+
+
+def make_halo_rollout(trainer, mesh: Mesh, plan: PartitionPlan, n_steps: int,
+                      axis: str = "graph") -> Callable:
+    """Jitted sharded closed-loop rollout (training/rollout.py::
+    rollout_trajectory under shard_map): (sim_state, ic [S, N_loc, C_in],
+    node_mask [S, N_loc, 1]) → shard-major predictions [S, T, N_loc, C].
+    The autoregressive state stays sharded on device across all T steps —
+    only the per-level halo rows cross chips each step."""
+    from bsms_gnn_tpu.models.simulator import simulator_forward
+
+    mcfg = dataclasses.replace(
+        trainer.cfg.model, aggregation=_halo_method(trainer.cfg, plan, axis)
+    )
+    hier = plan.hierarchy
+
+    def inner(sim, hier_s, ic_s, mask_s):
+        h = _local(hier_s)
+        ic, node_mask = ic_s[0], mask_s[0]
+        c_out = ic.shape[-1] - mcfg.pos_dim - 1
+        pos_type = ic[..., c_out:]
+
+        def step(current_input, _):
+            pred = simulator_forward(
+                sim.params, sim.norm_in, sim.norm_out, h,
+                current_input, node_mask, mcfg, trainer.compute_dtype,
+            )
+            nxt = jnp.concatenate([pred, pos_type], axis=-1)
+            nxt = jnp.where(node_mask == 0, ic, nxt)
+            return nxt, pred
+
+        _, preds = jax.lax.scan(step, ic, None, length=n_steps)
+        return preds[None]  # [1, T, N_loc, C] → global [S, T, N_loc, C]
+
+    hier_spec = jax.tree_util.tree_map(lambda _: P(axis), hier)
+    mapped = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), hier_spec, P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    hier_dev = _put_sharded(hier, mesh, axis)
+
+    @jax.jit
+    def _rollout(sim, hier_arg, ic, node_mask):
+        return mapped(sim, hier_arg, ic, node_mask)
+
+    def rollout(sim, ic, node_mask):
+        return _rollout(sim, hier_dev, ic, node_mask)
+
+    return rollout

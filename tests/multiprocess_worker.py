@@ -88,6 +88,54 @@ checksum = float(
 )
 norm_ex = np.asarray(state.sim.norm_in.e_x.addressable_data(0))
 
+# ---------------------------------------------------------------------------
+# Ghost-edge halo path across the process boundary: partition the same mesh
+# over ALL global devices on the graph axis (each process owns 4 shards),
+# assemble shard-major global arrays from process-local shard slices, and
+# run warmup + 2 gradient steps of the shard_map train step.
+# ---------------------------------------------------------------------------
+import copy  # noqa: E402
+
+from bsms_gnn_tpu.graph.bistride import build_bistride_levels  # noqa: E402
+from bsms_gnn_tpu.graph.mesh import to_flat_edge  # noqa: E402
+from bsms_gnn_tpu.parallel import (  # noqa: E402
+    build_partition,
+    make_halo_train_step,
+    make_mesh,
+    partition_nodes,
+)
+from tests_problem import _grid, halo_target  # noqa: E402
+
+S = len(jax.devices())
+cfg2 = copy.deepcopy(cfg)
+cfg2.datasets.noise_level = [0.0] * cfg2.model.out_dim
+node_tar_h = halo_target(cfg2, node_in) * mask
+pos, cells = _grid(9, 9)
+edges = to_flat_edge(cells, "tri")
+levels = build_bistride_levels(edges, cfg2.model.unet_depth, pos.shape[0], pos)
+plan = build_partition(levels, S, h.levels[0].n_pad_nodes, pos, block=32,
+                       local_layouts=True)
+hmesh = make_mesh(1, S, devices=jax.devices())
+tr2 = Trainer(cfg2)
+hstep = make_halo_train_step(tr2, hmesh, plan)
+
+state2 = multihost_utils.host_local_array_to_global_array(tr2.state, hmesh, P())
+local = slice(rank * (S // nprocs), (rank + 1) * (S // nprocs))
+hargs = tuple(
+    multihost_utils.host_local_array_to_global_array(
+        partition_nodes(plan, np.asarray(a[0]))[local], hmesh, P("graph")
+    )
+    for a in (node_in, node_tar_h, mask)
+)
+halo_losses = []
+st = state2
+for i in range(3):
+    key_g = multihost_utils.host_local_array_to_global_array(
+        jax.random.fold_in(key, i), hmesh, P()
+    )
+    st, hloss = hstep(st, *hargs, key_g)
+    halo_losses.append(float(np.asarray(hloss.addressable_data(0))))
+
 if rank == 0:
     with open(out_path, "w") as f:
         json.dump(
@@ -97,7 +145,8 @@ if rank == 0:
                 "norm_in_ex": norm_ex.tolist(),
                 "process_count": jax.process_count(),
                 "n_devices": len(jax.devices()),
+                "halo_losses": halo_losses,
             },
             f,
         )
-print(f"[worker {rank}] done: losses={losses}", flush=True)
+print(f"[worker {rank}] done: losses={losses} halo={halo_losses}", flush=True)

@@ -323,6 +323,32 @@ def test_ghost_fused_world_edges_forward():
     np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
 
 
+def test_halo_rollout_matches_single_device():
+    """Sharded closed-loop rollout (ghost layout) vs rollout_trajectory."""
+    from bsms_gnn_tpu.parallel import make_halo_rollout
+    from bsms_gnn_tpu.training import rollout_trajectory
+
+    cfg, h, plan, n, node_in, _, mask = _setup(local_layouts=True)
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    n_steps = 4
+    ro = make_halo_rollout(tr, mesh, plan, n_steps)
+    preds_sh = ro(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )  # [S, T, N_loc, C]
+    preds = unpartition_nodes(plan, np.asarray(preds_sh))  # [T, N_pad, C]
+
+    preds_ref = np.asarray(rollout_trajectory(
+        tr.state.sim, h, jnp.asarray(node_in), jnp.asarray(mask), n_steps,
+        cfg.model,
+    ))
+    np.testing.assert_allclose(
+        preds[:, :n], preds_ref[:, :n], rtol=2e-4, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("local_layouts", [False, True])
 def test_halo_forward_matches_single_device(local_layouts):
     cfg, h, plan, n, node_in, _, mask = _setup(local_layouts=local_layouts)

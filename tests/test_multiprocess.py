@@ -74,6 +74,28 @@ def _single_process_reference():
     return losses, checksum, np.asarray(tr.state.sim.norm_in.e_x)
 
 
+def _single_process_halo_reference():
+    """Single-device trainer on the halo section's problem (first sample,
+    zero noise — the halo step's per-shard RNG reproduces the single-device
+    draw only at noise 0)."""
+    import copy
+
+    from bsms_gnn_tpu.training import Trainer
+    from tests_problem import halo_target
+
+    cfg, h, node_in, node_tar, mask = build_problem()
+    cfg = copy.deepcopy(cfg)
+    cfg.datasets.noise_level = [0.0] * cfg.model.out_dim
+    node_tar_h = halo_target(cfg, node_in) * mask
+    tr = Trainer(cfg)
+    key = jax.random.PRNGKey(5)
+    return [
+        float(tr.iter(h, jnp.asarray(node_in[0]), jnp.asarray(node_tar_h[0]),
+                      jnp.asarray(mask[0]), jax.random.fold_in(key, i)))
+        for i in range(3)
+    ]
+
+
 @pytest.mark.parametrize("graph_axis", [1, 2])
 def test_two_process_cluster_matches_single_process(graph_axis, tmp_path):
     result = _run_cluster(2, graph_axis, tmp_path)
@@ -84,3 +106,8 @@ def test_two_process_cluster_matches_single_process(graph_axis, tmp_path):
     np.testing.assert_allclose(result["losses"], losses_ref, rtol=1e-4)
     np.testing.assert_allclose(result["checksum"], checksum_ref, rtol=1e-4)
     np.testing.assert_allclose(result["norm_in_ex"], ex_ref, rtol=1e-4, atol=1e-6)
+
+    # Ghost-edge halo shard_map step across the process boundary (8 shards,
+    # 4 per process): per-step losses match the single-device trainer.
+    halo_ref = _single_process_halo_reference()
+    np.testing.assert_allclose(result["halo_losses"], halo_ref, rtol=1e-4)

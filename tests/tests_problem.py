@@ -44,3 +44,12 @@ def build_problem():
     mask = np.zeros((b, n_pad, 1), np.float32)
     mask[:, :n] = 1.0
     return cfg, h, node_in, node_tar, mask
+
+
+def halo_target(cfg, node_in):
+    """Position-dependent target for the halo section: the constant-delta
+    target above is learned to float-noise level after one step, which
+    makes cross-layout loss comparisons meaningless."""
+    c = cfg.model.out_dim
+    return (node_in[..., :c] * 1.03
+            + 0.05 * np.sin(node_in[..., c : c + 1]))
