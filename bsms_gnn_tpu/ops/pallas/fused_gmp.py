@@ -848,11 +848,17 @@ def fused_edge_phase_win_dyn(level, xwi_ext, xj_ext, wf8, wfd_ext, wfn,
             xj_ext.astype(pre_dtype), wf8, wfd, wfn,
             w_stack, b_stack, sw, recv, g.astype(jnp.float32),
         )
-        from bsms_gnn_tpu.ops.pallas.segment_sum import (
-            segment_sum_raw as _ssr,
-        )
+        # Same gather-free sender-sum as the v3 backward (transposed
+        # windowed kernel; gather fallback).
+        from bsms_gnn_tpu.ops.pallas.windowed import windowed_send_sum_raw
 
-        dxwi_x = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
+        dxwi_x = windowed_send_sum_raw(lvl, dpre)
+        if dxwi_x is None:
+            from bsms_gnn_tpu.ops.pallas.segment_sum import (
+                segment_sum_raw as _ssr,
+            )
+
+            dxwi_x = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
         dxwi_ext = jnp.concatenate(
             [dxwi_x.astype(xwi_ext.dtype),
              jnp.zeros_like(dxwi_x).astype(xwi_ext.dtype)], axis=-1
@@ -945,14 +951,18 @@ def fused_edge_phase_win(level, xwi, xj, wf8, weights: Tuple, biases: Tuple
             sw, recv, g.astype(jnp.float32),
         )
         # d_xwi[n] = Σ_{in-window e: send(e)=n} dpre_e. dpre is zero at
-        # masked slots, so the plain sender-sum over all slots is exact
-        # (reverse-permute + the receiver segment kernel, as the v2 gather
-        # backward does).
-        from bsms_gnn_tpu.ops.pallas.segment_sum import (
-            segment_sum_raw as _ssr,
-        )
+        # masked slots (and sentinel slots select no one-hot column), so
+        # the transposed windowed kernel computes it with no row gather;
+        # fall back to reverse-permute + the receiver segment kernel.
+        from bsms_gnn_tpu.ops.pallas.windowed import windowed_send_sum_raw
 
-        dxwi = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
+        dxwi = windowed_send_sum_raw(lvl, dpre)
+        if dxwi is None:
+            from bsms_gnn_tpu.ops.pallas.segment_sum import (
+                segment_sum_raw as _ssr,
+            )
+
+            dxwi = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
         return (None, dxwi.astype(xwi.dtype), dxj.astype(xj.dtype),
                 dwf8.astype(wf8.dtype), dw, db)
 

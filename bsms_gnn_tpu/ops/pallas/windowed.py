@@ -165,6 +165,130 @@ def supported(level, x) -> bool:
     )
 
 
+def _make_send_kernel(be: int, wh: int, f32_mode: bool):
+    import jax.experimental.pallas as pl
+
+    def kernel(ord_ref, first_ref, wbs_ref, vals_ref, sw_ref, outa_ref,
+               outb_ref):
+        i = pl.program_id(0)
+        j = ord_ref[i]
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            outa_ref[:] = jnp.zeros_like(outa_ref)
+            outb_ref[:] = jnp.zeros_like(outb_ref)
+
+        row = jax.lax.rem(j, 8)
+        sw = sw_ref[pl.ds(row, 1), :]  # [1, BE]; sentinel 2*wh hits nothing
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        dt = jnp.float32 if f32_mode else jnp.bfloat16
+        oh_a = (iota_w == sw).astype(dt)
+        oh_b = (iota_w == (sw - wh)).astype(dt)
+        vals = vals_ref[:]
+        precision = (
+            jax.lax.Precision.HIGHEST if f32_mode
+            else jax.lax.Precision.DEFAULT
+        )
+        outa_ref[:] += jax.lax.dot_general(
+            oh_a, vals, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        outb_ref[:] += jax.lax.dot_general(
+            oh_b, vals, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_send_call(e_pad: int, n_pad: int, c: int, wh: int, be: int,
+                   f32_mode: bool, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # window-sorted chunk order, first flags, wbs
+        grid=(e_pad // be,),
+        in_specs=[
+            pl.BlockSpec((be, c), lambda i, o, f, w: (o[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), lambda i, o, f, w: (o[i] // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((wh, c), lambda i, o, f, w: (w[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), lambda i, o, f, w: (w[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _make_send_kernel(be, wh, f32_mode),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def windowed_send_sum_raw(level, vals) -> Optional[jax.Array]:
+    """out[n] = Σ_{in-window e: send(e)=n} vals[e] — the TRANSPOSED windowed
+    kernel: sender-sums of per-EDGE values without the reverse-perm row
+    gather (XLA's gather is issue-rate-bound, ~200M rows/s on v5e — ~290 ms
+    per 1M-node train step summed over the fused backwards this replaces).
+    Chunks are visited in window-sorted order (scalar-prefetched
+    permutation) so each output window block is revisited only
+    consecutively; each chunk scatters through the two half-window one-hot
+    transposes. Out-of-window slots (sentinel) have structurally zero
+    one-hot columns, so callers owing them a contribution (none today: the
+    fused backwards zero their cotangents, and real out-of-window edges
+    live in `level.resid`) must add it separately. Never-visited window
+    blocks hold uninitialized memory — masked out with a `where` on the
+    offline-derivable visited-block map before the a+b combine. No custom
+    VJP (used inside callers' backwards). Returns None when the layout has
+    no window tables."""
+    if not supported(level, vals):
+        return None
+    if vals.shape[-2] != level.n_pad_edges:
+        return None
+    if vals.ndim == 3:
+        return jax.vmap(lambda v: windowed_send_sum_raw(level, v))(vals)
+    interpret = jax.default_backend() != "tpu"
+    n_pad, e_pad = level.n_pad_nodes, level.n_pad_edges
+    c = vals.shape[-1]
+    be = getattr(level, "edge_block", 128)
+    wh = level.window // 2
+    f32_mode = vals.dtype != jnp.bfloat16
+    num_chunks = e_pad // be
+
+    wb = level.win_base.astype(jnp.int32)
+    order = jnp.argsort(wb, stable=True).astype(jnp.int32)
+    wbs = jnp.take(wb, order)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (wbs[1:] != wbs[:-1]).astype(jnp.int32),
+    ])
+    sw = _pack_rows(level.send_win.astype(jnp.int32), be, num_chunks,
+                    level.window)
+    call = _get_send_call(e_pad, n_pad, c, wh, be, f32_mode, interpret)
+    v_dt = vals if not f32_mode else vals.astype(jnp.float32)
+    out_a, out_b = call(order, first, wbs, v_dt, sw)
+
+    n_blocks = n_pad // wh
+    va = jnp.zeros((n_blocks,), bool).at[wb].set(True)
+    vb = jnp.zeros((n_blocks,), bool).at[wb + 1].set(True)
+    rows_a = jnp.repeat(va, wh)[:, None]
+    rows_b = jnp.repeat(vb, wh)[:, None]
+    zero = jnp.zeros((), jnp.float32)
+    return jnp.where(rows_a, out_a, zero) + jnp.where(rows_b, out_b, zero)
+
+
 def windowed_conv_raw(level, x, ew) -> Optional[jax.Array]:
     """out[n] = Σ_{e: recv(e)=n, in-window} ew_e · x[send_e], with NO custom
     VJP (callers define the adjoint over the full conv; ops/message.py pairs

@@ -108,6 +108,46 @@ def test_windowed_conv_grad_matches_ell():
     np.testing.assert_allclose(gw[:n], g0[:n], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("morton", [True, False])
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_windowed_send_sum_matches_oracle(morton, dtype):
+    """Transposed windowed kernel (gather-free sender-sum of per-edge
+    values, used by the fused v3/v4 backwards for d_xwi) vs a NumPy oracle
+    over in-window slots — incl. the batched (vmapped) form."""
+    from bsms_gnn_tpu.ops.pallas.windowed import windowed_send_sum_raw
+
+    h_w, _ = _setup(morton=morton)
+    lvl = h_w.levels[0]
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((lvl.n_pad_edges, C)).astype(np.float32)
+    if dtype == "bfloat16":
+        vals_j = jnp.asarray(vals).astype(jnp.bfloat16)
+        vals = np.asarray(vals_j, np.float32)
+    else:
+        vals_j = jnp.asarray(vals)
+
+    sw = np.asarray(lvl.send_win)
+    senders = np.asarray(lvl.senders)
+    w = lvl.window
+    oracle = np.zeros((lvl.n_pad_nodes, C), np.float64)
+    in_win = sw < w
+    np.add.at(oracle, senders[in_win], vals[in_win].astype(np.float64))
+
+    out = np.asarray(jax.jit(
+        lambda v: windowed_send_sum_raw(lvl, v))(vals_j))
+    assert out.shape == (lvl.n_pad_nodes, C)
+    tol = dict(rtol=2e-2, atol=2e-2) if dtype == "bfloat16" else dict(
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out, oracle.astype(np.float32), **tol)
+
+    batched = jnp.stack([vals_j, 2.0 * vals_j])
+    outb = np.asarray(jax.jit(
+        lambda v: windowed_send_sum_raw(lvl, v))(batched))
+    np.testing.assert_allclose(outb[0], oracle.astype(np.float32), **tol)
+    np.testing.assert_allclose(outb[1], 2 * oracle.astype(np.float32),
+                               **tol)
+
+
 def test_windowed_layout_invariants():
     h_w, _ = _setup()
     for g in h_w.levels:
