@@ -71,8 +71,11 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
     edges = to_flat_edge(cells, "tri")
     h = load_or_build_hierarchy(
         cache_dir, name, edges, depth, pos.shape[0],
-        pos.astype(np.float64), edge_block=edge_block, window=window,
+        pos.astype(np.float64), edge_block=edge_block,
+        window="auto" if window < 0 else window,  # -1: per-level auto-tune
     )
+    if window:
+        print(f"windows/level={[g.window for g in h.levels]}", flush=True)
     total_edges = sum(g.n_edges for g in h.levels)
     total_pad = sum(g.n_pad_edges for g in h.levels)
     print(

@@ -27,42 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
-def chunk_coverage(senders, edge_mask, reverse_perm, n_pad, window,
-                   edge_block):
-    """Covered-edge fraction under the same per-chunk best-window vote as
-    graph/hierarchy.py:_window_tables (incl. the reverse-twin symmetrize)."""
-    window = min(window, n_pad)
-    wh = window // 2
-    if n_pad % wh:
-        return float("nan")
-    e_pad = len(senders)
-    num_chunks = e_pad // edge_block
-    max_base = n_pad // wh - 2
-    real = np.asarray(edge_mask) > 0
-    s64 = np.asarray(senders).astype(np.int64)
-    base = np.zeros(num_chunks, np.int64)
-    s_chunks = s64.reshape(num_chunks, edge_block)
-    r_chunks = real.reshape(num_chunks, edge_block)
-    for i in range(num_chunks):
-        s_i = s_chunks[i][r_chunks[i]]
-        if len(s_i) == 0:
-            continue
-        gr = s_i // wh
-        cand = np.concatenate([gr - 1, gr])
-        cand = cand[(cand >= 0) & (cand <= max_base)]
-        if len(cand) == 0:
-            base[i] = min(max(int(gr[0]) - 1, 0), max_base)
-            continue
-        vals, cnts = np.unique(cand, return_counts=True)
-        base[i] = vals[np.argmax(cnts)]
-    lo = np.repeat(base, edge_block) * wh
-    covered = real & (s64 >= lo) & (s64 < lo + window)
-    covered &= covered[np.asarray(reverse_perm)]
-    return covered.sum() / max(real.sum(), 1)
-
-
 def main(n_nodes=1_000_000, depth=7, built_window=512):
     from benchmarks.profile_1m import load_scale_hierarchy
+
+    from bsms_gnn_tpu.graph.hierarchy import choose_windows, window_coverage
 
     h = load_scale_hierarchy("/tmp/bsms-scale", n_nodes, depth,
                              window=built_window)
@@ -77,9 +45,7 @@ def main(n_nodes=1_000_000, depth=7, built_window=512):
         eb = getattr(lvl, "edge_block", 128)
         row = []
         for w in windows:
-            cov = chunk_coverage(
-                np.asarray(lvl.senders), np.asarray(lvl.edge_mask),
-                np.asarray(lvl.reverse_perm), lvl.n_pad_nodes, w, eb)
+            cov = window_coverage(lvl, w)
             sel_fpe = 2 * min(w, lvl.n_pad_nodes) // 2 * c * 2  # a+b halves
             row.append(f"{cov*100:5.1f}% ({sel_fpe/1e3:4.0f})")
             tot[w][0] += cov * lvl.n_edges
@@ -87,6 +53,8 @@ def main(n_nodes=1_000_000, depth=7, built_window=512):
         print(f"{li:>3} {lvl.n_edges:>9} " + "  ".join(row))
     print("edge-weighted coverage: " + "  ".join(
         f"W={w}: {100*a/b:.1f}%" for w, (a, b) in tot.items()))
+    print(f"choose_windows -> {choose_windows(h, tuple(windows))} "
+          "(per-level cost model; build with window=-1 / 'auto')")
 
 
 if __name__ == "__main__":

@@ -100,7 +100,9 @@ class TrajectoryReader:
             node_buckets=node_buckets,
             edge_buckets=edge_buckets,
             edge_block=cfg.edge_block,
-            window=cfg.window,
+            # window=-1: per-level auto-tuned widths (choose_windows);
+            # needs per-mesh shapes, so only off the bucketed path.
+            window="auto" if cfg.window < 0 else cfg.window,
             ell_buckets=ell_buckets,
             resid_buckets=resid_buckets,
         )

@@ -56,6 +56,8 @@ LEVELS_CACHE_VERSION = 8
 # ~10-25% edge-padding overhead; at <100k edges the overhead isn't worth it).
 EDGE_BLOCK = 128
 NODE_BLOCK = 128
+# Candidate source-window widths for window="auto" (see choose_windows).
+AUTO_WINDOW_CANDIDATES = (128, 256, 512, 1024)
 
 
 def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
@@ -343,6 +345,106 @@ def _fiber_t(fiber: np.ndarray) -> np.ndarray:
     return out
 
 
+def _window_vote(
+    senders: np.ndarray,
+    edge_mask: np.ndarray,
+    reverse_perm: np.ndarray,
+    n_pad: int,
+    window: int,
+    edge_block: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-chunk window vote: each `edge_block`-slot chunk picks the W-row
+    source window (base aligned to W/2) covering the most of its real
+    senders. Returns (base [num_chunks], covered [E_pad]) with coverage
+    symmetrized (an edge counts as covered only if its reverse twin is too,
+    so the residual edge set stays symmetric). Fully vectorized — the
+    per-chunk mode is a grouped unique-count argmax, first-max tie-break
+    (lowest candidate), matching np.argmax over ascending candidates."""
+    wh = window // 2
+    e_pad = len(senders)
+    num_chunks = e_pad // edge_block
+    max_base = n_pad // wh - 2
+    real = edge_mask > 0
+    s64 = senders.astype(np.int64)
+
+    chunk_of = np.repeat(np.arange(num_chunks, dtype=np.int64), edge_block)
+    gr = s64 // wh
+    cand = np.concatenate([gr - 1, gr])
+    cchunk = np.concatenate([chunk_of, chunk_of])
+    keep = np.concatenate([real, real]) & (cand >= 0) & (cand <= max_base)
+    stride = max_base + 1
+    keys, cnts = np.unique(cchunk[keep] * stride + cand[keep],
+                           return_counts=True)
+    base = np.zeros(num_chunks, np.int64)
+    if keys.size:
+        kchunk = keys // stride
+        new_run = np.r_[True, kchunk[1:] != kchunk[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_starts = np.flatnonzero(new_run)
+        run_max = np.maximum.reduceat(cnts, run_starts)
+        at_max = np.flatnonzero(cnts == run_max[run_id])
+        runs_at = run_id[at_max]
+        first = at_max[np.r_[True, runs_at[1:] != runs_at[:-1]]]
+        base[kchunk[run_starts]] = keys[first] % stride
+
+    lo = np.repeat(base, edge_block) * wh
+    covered = real & (s64 >= lo) & (s64 < lo + window)
+    covered &= covered[reverse_perm]
+    return base, covered
+
+
+def window_coverage(level: "LevelGraph", window: int) -> float:
+    """Covered-edge fraction a built level WOULD get at source-window size
+    `window` (the chunk layout is window-size-independent: blocks are
+    sender-sorted once, see _pad_level). Offline analysis for
+    choose_windows / benchmarks."""
+    n_pad = level.n_pad_nodes
+    w = min(window, n_pad)
+    if n_pad % (w // 2):
+        return float("nan")
+    _, covered = _window_vote(
+        np.asarray(level.senders), np.asarray(level.edge_mask),
+        np.asarray(level.reverse_perm), n_pad, w, level.edge_block,
+    )
+    return float(covered.sum()) / max(level.n_edges, 1)
+
+
+def choose_windows(
+    h: "Hierarchy",
+    candidates: Tuple[int, ...] = (128, 256, 512, 1024),
+    resid_rows: int = 2048,
+) -> List[int]:
+    """Offline per-level window auto-tuner. Evaluates each candidate W on a
+    hierarchy already built with windowed layouts (any W — the chunk order
+    is W-independent) and picks the per-level cost minimizer:
+
+        cost(W) = E_pad · W/2  +  uncovered_edges · resid_rows
+
+    The first term is the windowed kernels' selection work (one-hot MXU
+    dots read W/2 source rows per edge — see ops/pallas/windowed.py); the
+    second prices each out-of-window edge's trip through the residual
+    gather path, which is issue-rate-bound on v5e (~200M rows/s vs the
+    MXU's ~µs per 512-edge chunk — PARITY.md "Kernel roofline" items 6-7),
+    i.e. worth roughly `resid_rows` selection rows per edge. Returns the
+    per-level W list for pad_levels(window=[...])."""
+    out = []
+    for g in h.levels:
+        n_pad = g.n_pad_nodes
+        best_w, best_cost = 0, None
+        for w in candidates:
+            weff = min(w, n_pad)
+            if n_pad % (weff // 2):
+                continue
+            cov = window_coverage(g, weff)
+            n_resid = (1.0 - cov) * g.n_edges
+            cost = g.n_pad_edges * (weff // 2) + n_resid * resid_rows
+            if best_cost is None or cost < best_cost:
+                best_w, best_cost = w, cost
+        assert best_cost is not None, "no window candidate divides n_pad"
+        out.append(best_w)
+    return out
+
+
 def _window_tables(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -370,31 +472,13 @@ def _window_tables(
     stays symmetric) go to a mini residual LevelGraph over the same padded
     node space, handled by the standard gather/segment paths. With
     Morton-ordered nodes (graph/order.py) coverage is typically ≥95%."""
+    base, covered = _window_vote(
+        senders, edge_mask, reverse_perm, n_pad, window, edge_block
+    )
     wh = window // 2
-    e_pad = len(senders)
-    num_chunks = e_pad // edge_block
-    max_base = n_pad // wh - 2
-    real = edge_mask > 0
     s64 = senders.astype(np.int64)
-    base = np.zeros(num_chunks, np.int64)
-    s_chunks = s64.reshape(num_chunks, edge_block)
-    r_chunks = real.reshape(num_chunks, edge_block)
-    for i in range(num_chunks):
-        s_i = s_chunks[i][r_chunks[i]]
-        if len(s_i) == 0:
-            continue
-        gr = s_i // wh
-        cand = np.concatenate([gr - 1, gr])
-        cand = cand[(cand >= 0) & (cand <= max_base)]
-        if len(cand) == 0:
-            base[i] = min(max(int(gr[0]) - 1, 0), max_base)
-            continue
-        vals, cnts = np.unique(cand, return_counts=True)
-        base[i] = vals[np.argmax(cnts)]
-
     lo = np.repeat(base, edge_block) * wh
-    covered = real & (s64 >= lo) & (s64 < lo + window)
-    covered &= covered[reverse_perm]  # symmetrize
+    real = edge_mask > 0
 
     send_win = np.where(covered, s64 - lo, window).astype(np.int32)
     win_base = base.astype(np.int32)
@@ -425,7 +509,7 @@ def build_hierarchy(
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
     edge_block: int = EDGE_BLOCK,
-    window: int = 0,
+    window: "int | List[int]" = 0,
 ) -> Hierarchy:
     """Build bi-stride levels and pad them to static shapes.
 
@@ -434,7 +518,9 @@ def build_hierarchy(
     each level pads up to the next `pad_multiple` (plus the guaranteed pad
     node). `window` > 0 additionally builds the windowed-gather tables
     (best with a Morton-ordered mesh, graph/order.py; not supported together
-    with bucketed stacking).
+    with bucketed stacking). A per-level list sets each level's source-window
+    size independently (every level compiles its own kernels anyway, so
+    mixed widths are free — see choose_windows for the offline auto-tuner).
     """
     levels = build_bistride_levels(flat_edges, num_layers, num_nodes, pos)
     return pad_levels(
@@ -450,7 +536,7 @@ def pad_levels(
     edge_buckets: Optional[List[int]] = None,
     pos: Optional[np.ndarray] = None,
     edge_block: int = EDGE_BLOCK,
-    window: int = 0,
+    window: "int | List[int]" = 0,
     ell_buckets: Optional[List[int]] = None,
     resid_buckets: Optional[List[Tuple[int, int]]] = None,
 ) -> Hierarchy:
@@ -461,10 +547,19 @@ def pad_levels(
     group's meshes (the max-degree/ residual-size variation would otherwise
     recompile per trajectory)."""
     graphs, ids = levels.graphs, levels.ids
+    windows = (
+        list(window)
+        if isinstance(window, (list, tuple))
+        else [window] * len(graphs)
+    )
+    assert len(windows) == len(graphs), (
+        f"per-level window list has {len(windows)} entries for "
+        f"{len(graphs)} levels"
+    )
     lvl_pos = None if pos is None else smoothed_positions(levels, pos)
     node_multiple = _pad_to(pad_multiple, NODE_BLOCK)
-    if window:
-        node_multiple = _pad_to(node_multiple, window // 2)
+    if any(windows):
+        node_multiple = _pad_to(node_multiple, max(windows) // 2)
     n_pads = []
     e_pads = []
     for l, g in enumerate(graphs):
@@ -472,12 +567,12 @@ def pad_levels(
             n_pad = node_buckets[l]
             assert n_pad > g.num_nodes, f"node bucket {n_pad} too small at level {l}"
             assert n_pad % NODE_BLOCK == 0, f"node bucket {n_pad} not {NODE_BLOCK}-aligned"
-            if window:
+            if windows[l]:
                 # bucketed variable-mesh datasets may window too (the
                 # sampler never mixes meshes within a batch, so per-mesh
                 # window/residual table shapes only affect compile reuse,
                 # not correctness); buckets must be window/2-aligned.
-                assert n_pad % (min(window, n_pad) // 2) == 0, (
+                assert n_pad % (min(windows[l], n_pad) // 2) == 0, (
                     f"node bucket {n_pad} not aligned to window/2"
                 )
         else:
@@ -496,7 +591,7 @@ def pad_levels(
         _pad_level(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
-            edge_block=edge_block, window=window,
+            edge_block=edge_block, window=windows[l],
             ell_k_min=0 if ell_buckets is None else ell_buckets[l],
             resid_e_pad_min=0 if resid_buckets is None else resid_buckets[l][0],
             force_resid=(
@@ -705,13 +800,17 @@ def load_or_build_hierarchy(
     node_buckets: Optional[List[int]] = None,
     edge_buckets: Optional[List[int]] = None,
     edge_block: int = EDGE_BLOCK,
-    window: int = 0,
+    window: "int | List[int] | str" = 0,
     ell_buckets: Optional[List[int]] = None,
     resid_buckets: Optional[List[Tuple[int, int]]] = None,
 ) -> Hierarchy:
     """Cache-through build. `cache_name` should be shared across trajectories
     when the dataset has a consistent mesh (one build serves all, matching
-    reference `base.py:98-101` cache-sharing) and per-trajectory otherwise."""
+    reference `base.py:98-101` cache-sharing) and per-trajectory otherwise.
+
+    `window="auto"` builds the windowed layout once at the largest candidate
+    width, runs the offline per-level cost model (choose_windows), and
+    re-pads with the chosen per-level widths — all under one cache entry."""
     key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets,
                      edge_block, window, ell_buckets, resid_buckets)
     path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
@@ -723,6 +822,20 @@ def load_or_build_hierarchy(
     levels = load_or_build_levels(
         cache_dir, cache_name, flat_edges, num_layers, num_nodes, pos
     )
+    if window == "auto":
+        assert node_buckets is None and edge_buckets is None, (
+            "window='auto' chooses per-mesh widths — incompatible with "
+            "bucketed stacking (pin an explicit window list instead)"
+        )
+        probe_w = AUTO_WINDOW_CANDIDATES[-1]
+        # Same node alignment for probe and final build so the coverage
+        # evaluation sees the exact final layouts.
+        pad_multiple = _pad_to(_pad_to(pad_multiple, NODE_BLOCK), probe_w // 2)
+        probe = pad_levels(
+            levels, pad_multiple, pos=pos, edge_block=edge_block,
+            window=probe_w,
+        )
+        window = choose_windows(probe, AUTO_WINDOW_CANDIDATES)
     h = pad_levels(
         levels, pad_multiple, node_buckets, edge_buckets, pos=pos,
         edge_block=edge_block, window=window,

@@ -833,3 +833,125 @@ def test_dataset_window_with_buckets(tmp_path):
     # EVERY shape is bucket-pinned (ELL widths, residual sub-layouts):
     # one program per group, even on windowed layouts.
     assert len(sigs) <= 2, f"{len(sigs)} distinct hierarchy shapes for 2 groups"
+
+
+# ---------------------------------------------------------------------------
+# Per-level window widths + offline auto-tuner (choose_windows)
+# ---------------------------------------------------------------------------
+
+
+def _scalar_vote(senders, edge_mask, n_pad, window, edge_block):
+    """The original per-chunk python-loop vote (pre-vectorization) — the
+    behavioral reference for hierarchy._window_vote."""
+    wh = window // 2
+    e_pad = len(senders)
+    num_chunks = e_pad // edge_block
+    max_base = n_pad // wh - 2
+    real = np.asarray(edge_mask) > 0
+    s64 = np.asarray(senders).astype(np.int64)
+    base = np.zeros(num_chunks, np.int64)
+    s_chunks = s64.reshape(num_chunks, edge_block)
+    r_chunks = real.reshape(num_chunks, edge_block)
+    for i in range(num_chunks):
+        s_i = s_chunks[i][r_chunks[i]]
+        if len(s_i) == 0:
+            continue
+        cand = np.concatenate([s_i // wh - 1, s_i // wh])
+        cand = cand[(cand >= 0) & (cand <= max_base)]
+        vals, cnts = np.unique(cand, return_counts=True)
+        base[i] = vals[np.argmax(cnts)]
+    return base
+
+
+@pytest.mark.parametrize("morton", [True, False])
+def test_window_vote_matches_scalar_reference(morton):
+    from bsms_gnn_tpu.graph.hierarchy import _window_vote
+
+    h_w, _ = _setup(morton=morton)
+    for g in h_w.levels:
+        w = g.window
+        base, covered = _window_vote(
+            np.asarray(g.senders), np.asarray(g.edge_mask),
+            np.asarray(g.reverse_perm), g.n_pad_nodes, w, g.edge_block,
+        )
+        ref = _scalar_vote(g.senders, g.edge_mask, g.n_pad_nodes, w,
+                           g.edge_block)
+        np.testing.assert_array_equal(base, ref)
+        # covered edges really are in their chunk's window
+        lo = np.repeat(base, g.edge_block) * (w // 2)
+        s = np.asarray(g.senders, np.int64)
+        assert np.all((s[covered] >= lo[covered])
+                      & (s[covered] < lo[covered] + w))
+
+
+def test_per_level_window_list():
+    """Mixed per-level widths build, record per level, and match the plain
+    hierarchy's conv numerics on every level."""
+    pos, cells = make_grid_mesh(40, 40)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    wins = [512, 256, 128]
+    h_m = build_hierarchy(edges, 2, pos.shape[0], pos, window=wins)
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+    for l, (lw, l0) in enumerate(zip(h_m.levels, h_0.levels)):
+        assert lw.window == min(wins[l], lw.n_pad_nodes)
+        x = _rand_x(lw, seed=l)
+        a = np.asarray(
+            jax.jit(lambda x: edge_conv_down(lw, x, None, "pallas"))(x)
+        )
+        b = np.asarray(
+            jax.jit(lambda x: edge_conv_down(l0, x[: l0.n_pad_nodes], None,
+                                             "ell"))(x[: l0.n_pad_nodes])
+        )
+        n = lw.n_nodes
+        np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=1e-6)
+
+
+def test_choose_windows_auto_cache_roundtrip(tmp_path):
+    """window='auto' picks per-level cost-minimizing widths offline, builds
+    a parity-exact hierarchy, and round-trips through the npz cache."""
+    from bsms_gnn_tpu.graph.hierarchy import (
+        AUTO_WINDOW_CANDIDATES,
+        choose_windows,
+        load_or_build_hierarchy,
+        window_coverage,
+    )
+
+    pos, cells = make_grid_mesh(40, 40)
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+
+    probe = build_hierarchy(edges, 2, pos.shape[0], pos,
+                            window=AUTO_WINDOW_CANDIDATES[-1])
+    wins = choose_windows(probe)
+    assert len(wins) == 3
+    assert all(w in AUTO_WINDOW_CANDIDATES for w in wins)
+    # A Morton-ordered grid covers well at small W: the tuner must not pick
+    # the widest candidate for level 0 (selection cost scales with W).
+    assert wins[0] < AUTO_WINDOW_CANDIDATES[-1]
+    for g, w in zip(probe.levels, wins):
+        cov = window_coverage(g, min(w, g.n_pad_nodes))
+        assert cov > 0.5
+
+    h_a = load_or_build_hierarchy(
+        str(tmp_path), "grid", edges, 2, pos.shape[0], pos, window="auto"
+    )
+    h_b = load_or_build_hierarchy(  # cache hit
+        str(tmp_path), "grid", edges, 2, pos.shape[0], pos, window="auto"
+    )
+    for ga, gb in zip(h_a.levels, h_b.levels):
+        assert ga.window == gb.window
+        np.testing.assert_array_equal(ga.senders, gb.senders)
+
+    h_0 = build_hierarchy(edges, 2, pos.shape[0], pos)
+    for lw, l0 in zip(h_a.levels, h_0.levels):
+        x = _rand_x(lw, seed=3)
+        a = np.asarray(
+            jax.jit(lambda x: edge_conv_down(lw, x, None, "pallas"))(x)
+        )
+        b = np.asarray(
+            jax.jit(lambda x: edge_conv_down(l0, x[: l0.n_pad_nodes], None,
+                                             "ell"))(x[: l0.n_pad_nodes])
+        )
+        n = lw.n_nodes
+        np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=1e-6)
