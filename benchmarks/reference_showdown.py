@@ -1,0 +1,336 @@
+"""Equal-data training-convergence showdown vs the ACTUAL reference model.
+
+Trains the reference PyTorch BSMS simulator (/root/reference/src — CPU,
+scaled down: ~800-node mesh, depth 3) and this framework side by side on the
+SAME synthetic airfoil trajectories, with the same batch schedule, noise
+recipe (`datasets/base.py:274-289`), normalizer warmup, LR schedule, and
+step count — identical everything modulo each framework's RNG (init + noise
+draws). Then rolls both out closed-loop on held-out trajectories
+(`rollout_utils.py:14-64` vs `training/rollout.py`) and reports rollout RMSE.
+
+This is the strongest locally-achievable substitute for the network-gated
+real-DeepMind-data RMSE parity (BASELINE.md north star): it proves the
+training DYNAMICS match, not just one step (the golden tests already prove
+step-level parity: tests/test_reference_golden.py).
+
+Usage:  python benchmarks/reference_showdown.py [--steps 1500] [--seeds 2]
+Output: benchmarks/out/reference_showdown.json + a printed table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REF_SRC = "/root/reference/src"
+OUT_DIM, POS_DIM = 3, 2
+NOISE_LEVEL = [0.02, 0.02, 0.02]  # synthetic fields are O(1)
+NOISE_GAMMA = 1.0
+
+
+def _install_ref_stubs():
+    """Stub the reference's unavailable third-party imports (same set the
+    golden tests use)."""
+    for name, attrs in (
+        ("wandb", {"log": lambda *a, **k: None, "init": lambda *a, **k: None,
+                   "Image": object}),
+        ("torchsummary", {"summary": lambda *a, **k: None}),
+    ):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+    if "pytz" not in sys.modules:
+        import datetime as _dt
+
+        p = types.ModuleType("pytz")
+        p.timezone = lambda name: _dt.timezone.utc
+        sys.modules["pytz"] = p
+    if "sparse_dot_mkl" not in sys.modules:
+        m = types.ModuleType("sparse_dot_mkl")
+        m.dot_product_mkl = lambda a, b: a @ b  # SciPy CSR product == MKL
+        sys.modules["sparse_dot_mkl"] = m
+
+
+def build_data(n_nodes: int, n_train: int, n_test: int, n_frames: int, seed: int):
+    """Shared-mesh synthetic airfoil trajectories (traveling vortex +
+    advected density): fields [T, N, 3], one mesh for all."""
+    from bsms_gnn_tpu.data.synthetic import generate_trajectory, make_delaunay_mesh
+
+    rng = np.random.default_rng(seed)
+    mesh = make_delaunay_mesh(n_nodes, rng)
+    pos, cells, node_type = mesh
+
+    def traj():
+        fields, _ = generate_trajectory(n_nodes, n_frames, rng, True, mesh)
+        return np.concatenate([fields["velocity"], fields["density"]], -1)
+
+    train = [traj() for _ in range(n_train)]
+    test = [traj() for _ in range(n_test)]
+    mask = (node_type[:, 0] == 0).astype(np.float32)[:, None]  # airfoil rule
+    return pos.astype(np.float64), cells, node_type.astype(np.float32), mask, train, test
+
+
+def make_stream(n_train, n_frames, batch, steps, seed):
+    """Deterministic (traj, t) batch schedule shared by both frameworks."""
+    rng = np.random.default_rng(seed + 1000)
+    pairs = [(i, t) for i in range(n_train) for t in range(n_frames - 1)]
+    out = []
+    while len(out) < steps * batch:
+        perm = rng.permutation(len(pairs))
+        out += [pairs[j] for j in perm]
+    return [out[s * batch : (s + 1) * batch] for s in range(steps)]
+
+
+def _batch_arrays(batch_pairs, train, pos, node_type, n):
+    """Un-noised numpy batch: node_in [B,N,6], node_tar [B,N,3]."""
+    ins, tars = [], []
+    for (i, t) in batch_pairs:
+        fields = train[i]
+        ins.append(np.concatenate([fields[t], pos.astype(np.float32), node_type], -1))
+        tars.append(fields[t + 1])
+    return np.stack(ins), np.stack(tars)
+
+
+def run_reference(pos, cells, node_type, mask, train, stream, args, seed):
+    """Train the actual reference model (`trainer/trainer.py`), return
+    (loss_curve, model, levels)."""
+    _install_ref_stubs()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import torch
+
+    from graph_wrappers import BistrideMultiLayerGraph
+    from models.model import BSMS_Simulator
+    from trainer.trainer import Trainer as RefTrainer
+
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+
+    torch.manual_seed(seed)
+    n = pos.shape[0]
+    edges = to_flat_edge(cells, "tri")
+    mlg = BistrideMultiLayerGraph(edges, args.depth, n, pos)
+    _, m_flat_es, m_ids_np = mlg.get_multi_layer_graphs()
+    m_gs = [torch.tensor(np.asarray(e), dtype=torch.long)[None] for e in m_flat_es]
+    m_ids = [torch.tensor(np.asarray(i), dtype=torch.long)[None] for i in m_ids_np]
+
+    model_cfg = types.SimpleNamespace(
+        out_dim=OUT_DIM, latent_dim=args.latent, hidden_layer=args.hidden,
+        unet_depth=args.depth, pos_dim=POS_DIM, consistent_mesh=True,
+        accumulation_steps=args.warmup_acc,
+    )
+    opt_cfg = types.SimpleNamespace(
+        peak_lr=args.peak_lr, weight_decay=1e-4, warmup_steps=args.lr_warmup,
+        decay_steps=args.steps, gnorm_clip=1.0,
+    )
+    model = BSMS_Simulator(model_cfg)
+    trainer = RefTrainer(model, model_cfg, opt_cfg)
+
+    noise_rng = np.random.default_rng(seed + 7)
+    nl = np.asarray(NOISE_LEVEL, np.float32)
+    losses = []
+    for s, batch_pairs in enumerate(stream):
+        node_in, node_tar = _batch_arrays(batch_pairs, train, pos, node_type, n)
+        # Reference noise recipe (datasets/base.py:274-289), host-side as in
+        # the reference's datapipe workers.
+        noise = noise_rng.standard_normal(node_tar.shape).astype(np.float32) * nl
+        noise = np.where(mask[None] == 0, 0.0, noise)
+        node_in = node_in.copy()
+        node_in[..., :OUT_DIM] += noise
+        node_tar = node_tar + (1.0 - NOISE_GAMMA) * noise
+        data = (
+            torch.tensor(node_in), torch.tensor(node_tar),
+            torch.tensor(np.broadcast_to(mask[None], (node_in.shape[0], n, 1)).copy()),
+            m_gs, m_ids,
+        )
+        # trainer.iter(data) without the lost loss: same statements,
+        # loss captured (`trainer.py:134-156`).
+        data = trainer.move_to_device(data)
+        loss = trainer._loss_fn(data)
+        if trainer.train_step >= model_cfg.accumulation_steps:
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), opt_cfg.gnorm_clip)
+            trainer.optimizer.step()
+            trainer.lr_scheduler.step()
+            trainer.optimizer.zero_grad()
+        trainer.train_step += 1
+        losses.append(float(loss.detach()))
+    return losses, model, (m_gs, m_ids)
+
+
+def rollout_reference(model, m_gs, m_ids, pos, node_type, mask, test):
+    import torch
+
+    from utils.rollout_utils import rollout_one_traj
+
+    n = pos.shape[0]
+    fake = types.SimpleNamespace(model=model)
+    per_traj = []
+    for fields in test:
+        steps = fields.shape[0] - 1
+        ic = np.concatenate([fields[0], pos.astype(np.float32), node_type], -1)
+        results = torch.zeros((steps, n, OUT_DIM))
+        with torch.no_grad():
+            preds = rollout_one_traj(
+                fake, torch.tensor(ic)[None], results,
+                torch.tensor(np.broadcast_to(mask[None], (1, n, 1)).copy()),
+                m_gs, m_ids, None,
+            ).numpy()
+        per_traj.append(rollout_rmse(preds, fields[1:]))
+    return per_traj
+
+
+def rollout_rmse(preds, truth):
+    """Mean over steps of √(mean over nodes+channels of se) — the metric
+    `rollout.py:87-112` accumulates."""
+    se = (preds - truth) ** 2
+    return float(np.mean(np.sqrt(se.mean(axis=(1, 2)))))
+
+
+def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.config import Config, DatasetConfig, ModelConfig, OptConfig
+    from bsms_gnn_tpu.graph.hierarchy import build_hierarchy
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.models.simulator import SimulatorState
+    from bsms_gnn_tpu.training import Trainer
+    from bsms_gnn_tpu.training.rollout import rollout_trajectory
+
+    n = pos.shape[0]
+    edges = to_flat_edge(cells, "tri")
+    h = build_hierarchy(edges, args.depth, n, pos, pad_multiple=128)
+    n_pad = h.levels[0].n_pad_nodes
+
+    cfg = Config(
+        datasets=DatasetConfig(noise_level=NOISE_LEVEL, noise_gamma=NOISE_GAMMA,
+                               unet_depth=args.depth),
+        model=ModelConfig(latent_dim=args.latent, hidden_layer=args.hidden,
+                          unet_depth=args.depth, out_dim=OUT_DIM,
+                          pos_dim=POS_DIM, accumulation_steps=args.warmup_acc,
+                          aggregation=args.aggregation),
+        opt=OptConfig(peak_lr=args.peak_lr, warmup_steps=args.lr_warmup,
+                      decay_steps=args.steps, weight_decay=1e-4, gnorm_clip=1.0),
+    )
+    tr = Trainer(cfg, init_key=jax.random.PRNGKey(seed))
+
+    def pad(a):
+        out = np.zeros(a.shape[:-2] + (n_pad,) + a.shape[-1:], np.float32)
+        out[..., :n, :] = a
+        return jnp.asarray(out)
+
+    mask_p = pad(np.broadcast_to(mask[None], (args.batch, n, 1)))
+    key = jax.random.PRNGKey(seed + 13)
+    losses = []
+    for s, batch_pairs in enumerate(stream):
+        node_in, node_tar = _batch_arrays(batch_pairs, train, pos, node_type, n)
+        l = tr.iter(h, pad(node_in), pad(node_tar), mask_p,
+                    jax.random.fold_in(key, s))
+        losses.append(float(l))
+
+    sim = tr.state.sim
+    per_traj = []
+    for fields in test:
+        steps = fields.shape[0] - 1
+        ic = np.concatenate([fields[0], pos.astype(np.float32), node_type], -1)
+        preds = np.asarray(
+            rollout_trajectory(
+                SimulatorState(params=sim.params, norm_in=sim.norm_in,
+                               norm_out=sim.norm_out),
+                h, pad(ic[None])[0], pad(mask[None])[0], steps, cfg.model,
+            )
+        )
+        per_traj.append(rollout_rmse(preds[:, :n], fields[1:]))
+    return losses, per_traj
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=800)
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--latent", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--n-train", type=int, default=4)
+    ap.add_argument("--n-test", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--warmup-acc", type=int, default=100)
+    ap.add_argument("--lr-warmup", type=int, default=200)
+    ap.add_argument("--peak-lr", type=float, default=5e-4)
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--aggregation", default="ell")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "out", "reference_showdown.json"))
+    args = ap.parse_args()
+
+    results = {"config": vars(args), "seeds": []}
+    for seed in range(args.seeds):
+        pos, cells, node_type, mask, train, test = build_data(
+            args.nodes, args.n_train, args.n_test, args.frames, seed
+        )
+        stream = make_stream(args.n_train, args.frames, args.batch, args.steps, seed)
+
+        t0 = time.time()
+        ref_losses, ref_model, (m_gs, m_ids) = run_reference(
+            pos, cells, node_type, mask, train, stream, args, seed
+        )
+        ref_rmse = rollout_reference(ref_model, m_gs, m_ids, pos, node_type, mask, test)
+        t_ref = time.time() - t0
+
+        t0 = time.time()
+        our_losses, our_rmse = run_ours(
+            pos, cells, node_type, mask, train, test, stream, args, seed
+        )
+        t_ours = time.time() - t0
+
+        k = 25
+        curve = {
+            "steps": list(range(0, args.steps, k)),
+            "reference": [float(np.mean(ref_losses[i:i + k]))
+                          for i in range(0, args.steps, k)],
+            "ours": [float(np.mean(our_losses[i:i + k]))
+                     for i in range(0, args.steps, k)],
+        }
+        entry = {
+            "seed": seed,
+            "rollout_rmse_reference": ref_rmse,
+            "rollout_rmse_ours": our_rmse,
+            "rollout_rmse_reference_mean": float(np.mean(ref_rmse)),
+            "rollout_rmse_ours_mean": float(np.mean(our_rmse)),
+            "final_train_loss_reference": float(np.mean(ref_losses[-50:])),
+            "final_train_loss_ours": float(np.mean(our_losses[-50:])),
+            "wall_s_reference_cpu": round(t_ref, 1),
+            "wall_s_ours": round(t_ours, 1),
+            "loss_curve": curve,
+        }
+        results["seeds"].append(entry)
+        print(f"[seed {seed}] rollout RMSE: ours={entry['rollout_rmse_ours_mean']:.4f} "
+              f"reference={entry['rollout_rmse_reference_mean']:.4f} | "
+              f"final train loss: ours={entry['final_train_loss_ours']:.4f} "
+              f"ref={entry['final_train_loss_reference']:.4f}", flush=True)
+
+    ours = np.mean([e["rollout_rmse_ours_mean"] for e in results["seeds"]])
+    ref = np.mean([e["rollout_rmse_reference_mean"] for e in results["seeds"]])
+    results["summary"] = {
+        "rollout_rmse_ours": float(ours),
+        "rollout_rmse_reference": float(ref),
+        "ratio_ours_over_reference": float(ours / ref),
+        "parity": bool(ours <= ref * 1.02),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["summary"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,11 +123,12 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
     group's (cached) levels once more to size the block-aligned edge
     layouts. Raw levels are never all resident. Cached as JSON next to the
     data."""
-    assert cfg.window >= 0, (
-        "window=-1 (auto per-level widths) picks per-mesh shapes and cannot "
-        "be pinned by a bucket plan — use an explicit window size with "
-        "size_buckets"
-    )
+    if cfg.window < 0:
+        raise ValueError(
+            "window=-1 (auto per-level widths) picks per-mesh shapes and "
+            "cannot be pinned by a bucket plan — use an explicit window "
+            "size with size_buckets"
+        )
     all_files = []
     for m in ("train", "test"):
         try:

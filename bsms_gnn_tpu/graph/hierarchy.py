@@ -58,6 +58,9 @@ EDGE_BLOCK = 128
 NODE_BLOCK = 128
 # Candidate source-window widths for window="auto" (see choose_windows).
 AUTO_WINDOW_CANDIDATES = (128, 256, 512, 1024)
+# Cost-model price (in selection rows per edge) of one residual-gather edge;
+# shared between choose_windows' default and the auto-build cache key.
+AUTO_RESID_ROWS = 2048
 
 
 def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
@@ -411,8 +414,8 @@ def window_coverage(level: "LevelGraph", window: int) -> float:
 
 def choose_windows(
     h: "Hierarchy",
-    candidates: Tuple[int, ...] = (128, 256, 512, 1024),
-    resid_rows: int = 2048,
+    candidates: Tuple[int, ...] = AUTO_WINDOW_CANDIDATES,
+    resid_rows: int = AUTO_RESID_ROWS,
 ) -> List[int]:
     """Offline per-level window auto-tuner. Evaluates each candidate W on a
     hierarchy already built with windowed layouts (any W — the chunk order
@@ -667,6 +670,11 @@ def _cache_key(
         f"v{CACHE_VERSION}|{num_layers}|{pad_multiple}|{node_buckets}"
         f"|{edge_buckets}|eb{edge_block}|w{window}"
     )
+    if window == "auto":
+        # The tuner's candidate set and cost-model constant change which
+        # per-level widths 'auto' resolves to — fold them into the key so
+        # tuner changes invalidate stale auto-built caches.
+        blob += f"|cand{AUTO_WINDOW_CANDIDATES}|rr{AUTO_RESID_ROWS}"
     if ell_buckets is not None or resid_buckets is not None:
         blob += f"|k{ell_buckets}|r{resid_buckets}"
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
@@ -810,7 +818,15 @@ def load_or_build_hierarchy(
 
     `window="auto"` builds the windowed layout once at the largest candidate
     width, runs the offline per-level cost model (choose_windows), and
-    re-pads with the chosen per-level widths — all under one cache entry."""
+    re-pads with the chosen per-level widths — all under one cache entry.
+
+    Trade-off: the auto path keeps node padding aligned to the PROBE width
+    (largest candidate / 2, i.e. 512) even when the tuner picks narrower
+    windows, because window coverage is layout-dependent — re-padding to a
+    smaller alignment would shift chunk boundaries and invalidate the
+    coverage the tuner just measured. Cost: up to probe_w/2 - chosen_w/2
+    extra pad rows per level (≤384 rows, <0.1% at the 1M sizes 'auto'
+    targets). Pin an explicit window list to avoid it on small meshes."""
     key = _cache_key(num_layers, pad_multiple, node_buckets, edge_buckets,
                      edge_block, window, ell_buckets, resid_buckets)
     path = os.path.join(cache_dir, f"{cache_name}_tpu_mmesh_{key}.npz")
