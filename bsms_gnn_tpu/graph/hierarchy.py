@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 13
+CACHE_VERSION = 14
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -145,11 +145,59 @@ class LevelGraph:
 
 
 @struct.dataclass
+class TransOp:
+    """Rectangular weighted-aggregation operator: one FUSED level transition.
+
+    The down transition (weighted conv then index-select pool, reference
+    `BSMS.py:74-89`) and the up transition (zero-fill unpool then reverse
+    conv, `BSMS.py:98-100`) are compositions of linear maps whose
+    coefficients (`cal_ew`) are pure graph functions — so each is a single
+    precomputed sparse operator `out = M @ x`:
+
+        M_down[k, i] = Σ_{e=(i → kept_k)} ew_e        (N_parent → M_child)
+        M_up         = M_downᵀ                         (M_child → N_parent)
+
+    and each direction's VJP is the other operator. This replaces the
+    4-6 dispatched ops per transition (gather, scale, segment-sum, select /
+    zero-fill) with one gather+scale and one aggregation kernel — the right
+    trade on a chip where every op pays a fixed ~15-30 µs regardless of
+    size (PARITY.md roofline §1: the headline sizes are dispatch-bound).
+
+    The layout mirrors LevelGraph's receiver-sorted block-aligned scheme
+    over the OUTPUT space, so `ops/pallas/segment_sum.py` runs unchanged
+    (duck-typed: it reads receivers/recv_indptr/edge_block/n_pad_* only).
+    Pad slots carry ew=0, so garbage in input pad rows never propagates.
+    """
+
+    senders: np.ndarray  # [E_pad] INPUT-space rows
+    receivers: np.ndarray  # [E_pad] OUTPUT-space rows (block-sorted)
+    recv_indptr: np.ndarray  # [N_out_pad + 1]
+    recv_ell: np.ndarray  # [N_out_pad, K] slots per output row (pad = E_pad)
+    ew: np.ndarray  # [E_pad] f64 operator coefficients (0 on pad slots)
+    n_in_pad: int = struct.field(pytree_node=False)
+    edge_block: int = struct.field(pytree_node=False, default=EDGE_BLOCK)
+
+    @property
+    def n_pad_nodes(self) -> int:  # OUTPUT rows (kernel contract)
+        return self.recv_ell.shape[-2]
+
+    @property
+    def n_pad_edges(self) -> int:
+        return self.senders.shape[-1]
+
+
+@struct.dataclass
 class Transition:
-    """Pool/unpool maps between level l (parent) and level l+1 (child)."""
+    """Pool/unpool maps between level l (parent) and level l+1 (child).
+
+    `down_op`/`up_op`, when built, are the fused conv+pool / unpool+conv
+    operators (see TransOp); pool_ids/unpool_inv stay for the parity-oracle
+    paths and the halo partitioning's shard-aligned transitions."""
 
     pool_ids: np.ndarray  # [M_pad] parent-space node ids (pad → parent pad node)
     unpool_inv: np.ndarray  # [N_pad_parent] child slot or M_pad (zero slot)
+    down_op: Optional[TransOp] = None
+    up_op: Optional[TransOp] = None
 
 
 @struct.dataclass
@@ -335,6 +383,79 @@ def _pad_level(
         skip_empty=not min_chunks,
         fiber_t=fiber_t,
     )
+
+
+def _pad_trans_layout(
+    s: np.ndarray, r: np.ndarray, w: np.ndarray,
+    n_in_pad: int, n_out_pad: int, edge_block: int,
+) -> TransOp:
+    """Block-aligned receiver-sorted layout for a rectangular operator:
+    outputs r (in [0, n_out_pad)), inputs s (in [0, n_in_pad)), weights w.
+    Same slotting scheme as `_pad_level` (≥1 chunk per 128-row output block;
+    pad slots self-loop on the pad rows with weight 0)."""
+    assert n_out_pad % NODE_BLOCK == 0
+    order = np.lexsort((s, r))
+    s_sorted = s[order].astype(np.int64)
+    r_sorted = r[order].astype(np.int64)
+    w_sorted = np.asarray(w, np.float64)[order]
+
+    recv_counts = np.bincount(r_sorted, minlength=n_out_pad)
+    block_counts = recv_counts.reshape(-1, NODE_BLOCK).sum(axis=1)
+    seg_lens = -(-np.maximum(block_counts, 1) // edge_block) * edge_block
+    e_pad = int(seg_lens.sum())
+
+    block_starts = np.zeros(len(seg_lens) + 1, np.int64)
+    np.cumsum(seg_lens, out=block_starts[1:])
+    blk_of_edge = r_sorted // NODE_BLOCK
+    cum_before = np.zeros(len(seg_lens) + 1, np.int64)
+    np.cumsum(block_counts, out=cum_before[1:])
+    slots = block_starts[blk_of_edge] + (
+        np.arange(len(r_sorted)) - cum_before[blk_of_edge]
+    )
+
+    senders = np.full(e_pad, n_in_pad - 1, dtype=np.int32)
+    receivers = np.full(e_pad, n_out_pad - 1, dtype=np.int32)
+    ew = np.zeros(e_pad, np.float64)
+    senders[slots] = s_sorted
+    receivers[slots] = r_sorted
+    ew[slots] = w_sorted
+
+    within = recv_counts.reshape(-1, NODE_BLOCK)
+    within_cum = np.cumsum(within, axis=1) - within
+    recv_indptr = np.zeros(n_out_pad + 1, np.int64)
+    recv_indptr[:n_out_pad] = (block_starts[:-1, None] + within_cum).reshape(-1)
+    recv_indptr[n_out_pad] = e_pad
+    recv_ell = _build_ell(r_sorted, slots, n_out_pad, e_pad)
+    return TransOp(
+        senders=senders,
+        receivers=receivers,
+        recv_indptr=recv_indptr.astype(np.int32),
+        recv_ell=recv_ell,
+        ew=ew,
+        n_in_pad=n_in_pad,
+        edge_block=edge_block,
+    )
+
+
+def _build_trans_ops(
+    flat_edges: np.ndarray, ec: np.ndarray, kept: np.ndarray,
+    parent_pad: int, child_pad: int, edge_block: int,
+) -> Tuple[TransOp, TransOp]:
+    """Fused transition operators from level-l raw edges + offline cal_ew
+    weights + the kept-node ids (see TransOp). Only edges whose receiver is
+    kept contribute (pool drops the rest; `BSMS.py:79-89`)."""
+    snd = flat_edges[0].astype(np.int64)
+    rcv = flat_edges[1].astype(np.int64)
+    n_raw = parent_pad  # receivers/senders < real N < parent_pad
+    local_of = np.full(n_raw, -1, np.int64)
+    local_of[kept.astype(np.int64)] = np.arange(len(kept))
+    sel = local_of[rcv] >= 0
+    s_par = snd[sel]  # parent-space inputs (down) / outputs (up)
+    r_chd = local_of[rcv[sel]]  # child-space outputs (down) / inputs (up)
+    w = np.asarray(ec, np.float64)[sel]
+    down = _pad_trans_layout(s_par, r_chd, w, parent_pad, child_pad, edge_block)
+    up = _pad_trans_layout(r_chd, s_par, w, child_pad, parent_pad, edge_block)
+    return down, up
 
 
 def _fiber_t(fiber: np.ndarray) -> np.ndarray:
@@ -635,7 +756,19 @@ def pad_levels(
         pool_ids[:m] = kept.astype(np.int32)
         unpool_inv = np.full(parent_pad, child_pad, dtype=np.int32)
         unpool_inv[kept] = np.arange(m, dtype=np.int32)
-        transitions.append(Transition(pool_ids=pool_ids, unpool_inv=unpool_inv))
+        # Fused transition operators — skipped for bucketed variable-mesh
+        # groups (stacking would need the op layouts' E_pad pinned across a
+        # group; those datasets keep the conv+pool path).
+        down_op = up_op = None
+        if node_buckets is None and edge_buckets is None:
+            down_op, up_op = _build_trans_ops(
+                graphs[l].flat_edges, ecs[l], kept, parent_pad, child_pad,
+                edge_block,
+            )
+        transitions.append(Transition(
+            pool_ids=pool_ids, unpool_inv=unpool_inv,
+            down_op=down_op, up_op=up_op,
+        ))
 
     return Hierarchy(levels=lvl_graphs, transitions=tuple(transitions))
 
@@ -737,6 +870,30 @@ def _level_from_arrays(prefix: str, z) -> LevelGraph:
     )
 
 
+def _trans_op_arrays(prefix: str, op: TransOp, arrays: dict) -> None:
+    arrays[f"{prefix}_senders"] = op.senders
+    arrays[f"{prefix}_receivers"] = op.receivers
+    arrays[f"{prefix}_recv_indptr"] = op.recv_indptr
+    arrays[f"{prefix}_recv_ell"] = op.recv_ell
+    arrays[f"{prefix}_ew"] = op.ew
+    arrays[f"{prefix}_meta"] = np.array([op.n_in_pad, op.edge_block], np.int64)
+
+
+def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
+    if f"{prefix}_meta" not in z:
+        return None
+    meta = z[f"{prefix}_meta"]
+    return TransOp(
+        senders=z[f"{prefix}_senders"],
+        receivers=z[f"{prefix}_receivers"],
+        recv_indptr=z[f"{prefix}_recv_indptr"],
+        recv_ell=z[f"{prefix}_recv_ell"],
+        ew=z[f"{prefix}_ew"],
+        n_in_pad=int(meta[0]),
+        edge_block=int(meta[1]),
+    )
+
+
 def save_hierarchy(path: str, h: Hierarchy) -> None:
     arrays = {"depth": np.int64(h.depth)}
     for l, g in enumerate(h.levels):
@@ -744,6 +901,9 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
     for l, t in enumerate(h.transitions):
         arrays[f"t{l}_pool_ids"] = t.pool_ids
         arrays[f"t{l}_unpool_inv"] = t.unpool_inv
+        if t.down_op is not None:
+            _trans_op_arrays(f"t{l}d", t.down_op, arrays)
+            _trans_op_arrays(f"t{l}u", t.up_op, arrays)
     _atomic_savez(path, arrays)
 
 
@@ -752,7 +912,12 @@ def load_hierarchy(path: str) -> Hierarchy:
         depth = int(z["depth"])
         levels = [_level_from_arrays(f"l{l}", z) for l in range(depth + 1)]
         transitions = [
-            Transition(pool_ids=z[f"t{l}_pool_ids"], unpool_inv=z[f"t{l}_unpool_inv"])
+            Transition(
+                pool_ids=z[f"t{l}_pool_ids"],
+                unpool_inv=z[f"t{l}_unpool_inv"],
+                down_op=_trans_op_from_arrays(f"t{l}d", z),
+                up_op=_trans_op_from_arrays(f"t{l}u", z),
+            )
             for l in range(depth)
         ]
     return Hierarchy(levels=tuple(levels), transitions=tuple(transitions))

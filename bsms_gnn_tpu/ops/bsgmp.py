@@ -27,6 +27,7 @@ from bsms_gnn_tpu.ops.message import (
     init_gmp,
 )
 from bsms_gnn_tpu.ops.pool import pool_nodes, unpool_nodes
+from bsms_gnn_tpu.ops.transition import trans_down, trans_up
 
 
 @struct.dataclass
@@ -51,6 +52,18 @@ def init_bsgmp(
             for i in range(unet_depth)
         ),
         bottom_gmp=init_gmp(keys[-1], latent_dim, hidden_layer, pos_dim, fiber_dims),
+    )
+
+
+def _use_fused_trans(trans, level, method: str) -> bool:
+    """Fused transition operators apply on unwindowed single-chip
+    pallas/fused paths (see trans_down/trans_up); parity-oracle (ell/
+    segment), halo, windowed, and bucketed (down_op=None) paths keep the
+    explicit conv+pool/unpool+conv sequence."""
+    return (
+        method in ("pallas", "fused")
+        and getattr(trans, "down_op", None) is not None
+        and level.window == 0
     )
 
 
@@ -107,11 +120,21 @@ def bsgmp_apply(
         # three data movers per level per step for values that never
         # change. ew=None selects the level's own weights (and the
         # windowed gather-free conv on layouts built with window > 0).
-        h = edge_conv_down(level, h, None, method)
-        h = pool_nodes(trans, h)
-        if dyn is not None:
-            dyn = edge_conv_down(level, dyn, None, method)
-            dyn = pool_nodes(trans, dyn)
+        # On unwindowed pallas/fused layouts the whole conv→pool collapses
+        # to ONE fused operator (ops/transition.py) — the dominant saving
+        # on dispatch-bound headline meshes; windowed levels keep the
+        # in-kernel gather-free conv (a fused op would reintroduce the
+        # issue-rate-bound row gather the windowed layout exists to kill).
+        if _use_fused_trans(trans, level, method):
+            h = trans_down(trans, h, method)
+            if dyn is not None:
+                dyn = trans_down(trans, dyn, method)
+        else:
+            h = edge_conv_down(level, h, None, method)
+            h = pool_nodes(trans, h)
+            if dyn is not None:
+                dyn = edge_conv_down(level, dyn, None, method)
+                dyn = pool_nodes(trans, dyn)
 
     h = gmp(params.bottom_gmp, hierarchy.levels[depth], h, dyn, method, compute_dtype)
     if tap is not None:
@@ -121,8 +144,11 @@ def bsgmp_apply(
         d = depth - i - 1
         level = hierarchy.levels[d]
         trans = hierarchy.transitions[d]
-        h = unpool_nodes(trans, h)
-        h = edge_conv_up(level, h, None, method)
+        if _use_fused_trans(trans, level, method):
+            h = trans_up(trans, h, method)
+        else:
+            h = unpool_nodes(trans, h)
+            h = edge_conv_up(level, h, None, method)
         h = gmp(params.up_gmps[i], level, h, down_ps[d], method, compute_dtype)
         if tap is not None:
             tap(f"up{i}", h)

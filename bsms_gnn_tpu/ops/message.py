@@ -350,6 +350,9 @@ def gmp_apply(
             return _node_phase(params, x, aggr, method, compute_dtype)
 
     # Node-side pre-transforms, then gather the 128-lane-aligned activations.
+    # (Merging wi|wj into one [N, C]@[C, 2C] matmul was measured SLOWER here:
+    # the two gathers then stream 2C-wide rows — the extra bytes cost more
+    # than the saved dispatch at headline sizes.)
     z_i = gather_send(level, dense(x, wi, 0.0, compute_dtype), method)
     z_j = gather_recv(level, dense(x, wj, 0.0, compute_dtype), method)
 

@@ -52,9 +52,20 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             fiber_t=None if l.fiber_t is None else P(None, "graph"),
         )
 
+    def trans_op_spec(op):
+        return None if op is None else op.replace(
+            senders=edge, receivers=edge, recv_indptr=repl, recv_ell=repl,
+            ew=edge,
+        )
+
     levels = tuple(level_spec(l) for l in h.levels)
     transitions = tuple(
-        t.replace(pool_ids=repl, unpool_inv=repl) for t in h.transitions
+        t.replace(
+            pool_ids=repl, unpool_inv=repl,
+            down_op=trans_op_spec(t.down_op),
+            up_op=trans_op_spec(t.up_op),
+        )
+        for t in h.transitions
     )
     return Hierarchy(levels=levels, transitions=transitions)
 
