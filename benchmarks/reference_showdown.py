@@ -132,6 +132,7 @@ def run_reference(pos, cells, node_type, mask, train, stream, args, seed):
     )
     model = BSMS_Simulator(model_cfg)
     trainer = RefTrainer(model, model_cfg, opt_cfg)
+    init_snap = _snapshot_torch_weights(model)
 
     noise_rng = np.random.default_rng(seed + 7)
     nl = np.asarray(NOISE_LEVEL, np.float32)
@@ -162,7 +163,64 @@ def run_reference(pos, cells, node_type, mask, train, stream, args, seed):
             trainer.optimizer.zero_grad()
         trainer.train_step += 1
         losses.append(float(loss.detach()))
-    return losses, model, (m_gs, m_ids)
+    return losses, model, (m_gs, m_ids), init_snap
+
+
+def _snapshot_torch_weights(model):
+    """Nested numpy snapshot of the torch model's Linear stacks, in our
+    pytree layout ([in, out] weights)."""
+    import torch
+
+    def mlp(m):
+        lins = [l for l in m.seq if isinstance(l, torch.nn.Linear)]
+        return (
+            [l.weight.detach().numpy().T.copy() for l in lins],
+            [l.bias.detach().numpy().copy() for l in lins],
+        )
+
+    def gmp(g):
+        return {"edge": mlp(g.mlp_edge), "node": mlp(g.mlp_node)}
+
+    return {
+        "encode": mlp(model.encode),
+        "decode": mlp(model.decode),
+        "down": [gmp(g) for g in model.process.down_gmps],
+        "up": [gmp(g) for g in model.process.up_gmps],
+        "bottom": gmp(model.process.bottom_gmp),
+    }
+
+
+def _params_from_snapshot(params, snap):
+    """Replace our simulator params' weights with a torch snapshot
+    (mirror mode: identical init in both frameworks)."""
+    import jax.numpy as jnp
+
+    def mlp(p, s):
+        ws, bs = s
+        assert len(ws) == len(p.weights)
+        for w_new, w_old in zip(ws, p.weights):
+            assert w_new.shape == w_old.shape, (w_new.shape, w_old.shape)
+        return p.replace(
+            weights=tuple(jnp.asarray(w) for w in ws),
+            biases=tuple(jnp.asarray(b) for b in bs),
+        )
+
+    def gmp(p, s):
+        return p.replace(
+            mlp_edge=mlp(p.mlp_edge, s["edge"]),
+            mlp_node=mlp(p.mlp_node, s["node"]),
+        )
+
+    proc = params.process.replace(
+        down_gmps=tuple(gmp(p, s) for p, s in zip(params.process.down_gmps, snap["down"])),
+        up_gmps=tuple(gmp(p, s) for p, s in zip(params.process.up_gmps, snap["up"])),
+        bottom_gmp=gmp(params.process.bottom_gmp, snap["bottom"]),
+    )
+    return params.replace(
+        encode=mlp(params.encode, snap["encode"]),
+        decode=mlp(params.decode, snap["decode"]),
+        process=proc,
+    )
 
 
 def rollout_reference(model, m_gs, m_ids, pos, node_type, mask, test):
@@ -203,7 +261,8 @@ def rollout_rmse(preds, truth):
     }
 
 
-def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed):
+def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed,
+             mirror_snap=None):
     import jax
     import jax.numpy as jnp
 
@@ -219,8 +278,11 @@ def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed):
     h = build_hierarchy(edges, args.depth, n, pos, pad_multiple=128)
     n_pad = h.levels[0].n_pad_nodes
 
+    # Mirror mode: identical noise is applied HOST-side (below) from the
+    # same rng stream the reference consumed; the trainer must add none.
+    nl = [0.0] * OUT_DIM if mirror_snap is not None else NOISE_LEVEL
     cfg = Config(
-        datasets=DatasetConfig(noise_level=NOISE_LEVEL, noise_gamma=NOISE_GAMMA,
+        datasets=DatasetConfig(noise_level=nl, noise_gamma=NOISE_GAMMA,
                                unet_depth=args.depth),
         model=ModelConfig(latent_dim=args.latent, hidden_layer=args.hidden,
                           unet_depth=args.depth, out_dim=OUT_DIM,
@@ -230,6 +292,13 @@ def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed):
                       decay_steps=args.steps, weight_decay=1e-4, gnorm_clip=1.0),
     )
     tr = Trainer(cfg, init_key=jax.random.PRNGKey(seed))
+    if mirror_snap is not None:
+        sim = tr.state.sim.replace(
+            params=_params_from_snapshot(tr.state.sim.params, mirror_snap)
+        )
+        tr.state = tr.state.replace(sim=sim)
+    noise_rng = np.random.default_rng(seed + 7)  # mirror: ref's stream
+    nlv = np.asarray(NOISE_LEVEL, np.float32)
 
     def pad(a):
         out = np.zeros(a.shape[:-2] + (n_pad,) + a.shape[-1:], np.float32)
@@ -241,6 +310,12 @@ def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed):
     losses = []
     for s, batch_pairs in enumerate(stream):
         node_in, node_tar = _batch_arrays(batch_pairs, train, pos, node_type, n)
+        if mirror_snap is not None:
+            noise = noise_rng.standard_normal(node_tar.shape).astype(np.float32) * nlv
+            noise = np.where(mask[None] == 0, 0.0, noise)
+            node_in = node_in.copy()
+            node_in[..., :OUT_DIM] += noise
+            node_tar = node_tar + (1.0 - NOISE_GAMMA) * noise
         l = tr.iter(h, pad(node_in), pad(node_tar), mask_p,
                     jax.random.fold_in(key, s))
         losses.append(float(l))
@@ -276,6 +351,10 @@ def main():
     ap.add_argument("--lr-warmup", type=int, default=200)
     ap.add_argument("--peak-lr", type=float, default=5e-4)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--mirror", action="store_true", help=(
+        "copy the torch init into our model and share the exact noise "
+        "draws — training curves must then track step-by-step (isolates "
+        "optimizer/arithmetic from draw luck)"))
     ap.add_argument("--aggregation", default="ell")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "out", "reference_showdown.json"))
@@ -289,7 +368,7 @@ def main():
         stream = make_stream(args.n_train, args.frames, args.batch, args.steps, seed)
 
         t0 = time.time()
-        ref_losses, ref_model, (m_gs, m_ids) = run_reference(
+        ref_losses, ref_model, (m_gs, m_ids), init_snap = run_reference(
             pos, cells, node_type, mask, train, stream, args, seed
         )
         ref_rmse = rollout_reference(ref_model, m_gs, m_ids, pos, node_type, mask, test)
@@ -297,9 +376,20 @@ def main():
 
         t0 = time.time()
         our_losses, our_rmse = run_ours(
-            pos, cells, node_type, mask, train, test, stream, args, seed
+            pos, cells, node_type, mask, train, test, stream, args, seed,
+            mirror_snap=init_snap if args.mirror else None,
         )
         t_ours = time.time() - t0
+        if args.mirror:
+            rel = [
+                abs(a - b) / max(abs(b), 1e-8)
+                for a, b in zip(our_losses, ref_losses)
+            ]
+            print(f"[mirror seed {seed}] per-step loss rel diff: "
+                  f"first10 max {max(rel[:10]):.2e}  "
+                  f"median {float(np.median(rel)):.3e}  "
+                  f"p90 {float(np.quantile(rel, 0.9)):.3e}  "
+                  f"last {rel[-1]:.3e}", flush=True)
 
         k = 25
         curve = {

@@ -392,6 +392,18 @@ def gmp_apply(
     if aggr is None:
         agg_method = "pallas" if method == "fused" else method
         edge_embedding = mlp_apply_tail(params.mlp_edge, pre, compute_dtype)
+        if agg_method == "pallas":
+            # Aggregation + node phase in ONE kernel (the aggregate never
+            # hits HBM; one dispatch replaces two — ops/pallas/agg_node.py).
+            from bsms_gnn_tpu.ops.pallas.agg_node import (
+                fused_aggregate_node_phase,
+            )
+
+            out = fused_aggregate_node_phase(
+                level, edge_embedding, x, params.mlp_node, compute_dtype
+            )
+            if out is not None:
+                return out
         aggr = aggregate_recv(level, edge_embedding, agg_method)
 
     return _node_phase(params, x, aggr, method, compute_dtype)

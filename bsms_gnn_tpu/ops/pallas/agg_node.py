@@ -119,20 +119,23 @@ def _get_call(e_pad: int, n_pad: int, c: int, feat_dtype, be: int,
 
 
 def _chunk_tables(level):
-    """(chunk_block, first, last) host tables for the level layout."""
-    import numpy as np
-
+    """(chunk_block, first, last) tables for the level layout. Derived with
+    jnp from the level's own leaves at CALL time (inside the custom-VJP'd
+    function) so remat re-traces never see stale outer-trace tracers, and
+    GSPMD-sharded hierarchies (device-array leaves) work unchanged."""
     n_pad, e_pad = level.n_pad_nodes, level.n_pad_edges
     be = getattr(level, "edge_block", 128)
     num_chunks = e_pad // be
-    block_starts = np.asarray(level.recv_indptr)[::BN]
-    chunk_offs = np.arange(num_chunks, dtype=np.int64) * be
-    chunk_block = np.searchsorted(block_starts[1:], chunk_offs, side="right")
-    chunk_block = np.minimum(chunk_block, n_pad // BN - 1).astype(np.int32)
-    first = np.ones(num_chunks, np.int32)
-    first[1:] = (chunk_block[1:] != chunk_block[:-1]).astype(np.int32)
-    last = np.ones(num_chunks, np.int32)
-    last[:-1] = first[1:]
+    block_starts = level.recv_indptr[::BN]
+    chunk_offs = jnp.arange(num_chunks, dtype=jnp.int32) * be
+    chunk_block = jnp.searchsorted(
+        block_starts[1:], chunk_offs, side="right"
+    ).astype(jnp.int32)
+    chunk_block = jnp.minimum(chunk_block, n_pad // BN - 1)
+    diff = (chunk_block[1:] != chunk_block[:-1]).astype(jnp.int32)
+    one = jnp.ones((1,), jnp.int32)
+    first = jnp.concatenate([one, diff])
+    last = jnp.concatenate([diff, one])
     return chunk_block, first, last
 
 
@@ -170,33 +173,34 @@ def fused_aggregate_node_phase(level, feat, x, mlp, compute_dtype=None
     feat_dtype = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
     out_dtype = cd if op_dtype == "bfloat16" else x.dtype
 
-    chunk_block, first, last = _chunk_tables(level)
-    num_chunks = e_pad // be
-    rows8 = -(-num_chunks // 8) * 8
-    recv_packed = jnp.pad(
-        jnp.asarray(level.receivers).reshape(-1, be).astype(jnp.int32),
-        ((0, rows8 - num_chunks), (0, 0)), constant_values=n_pad - 1,
-    )
     wa = mlp.weights[0][:c].astype(jnp.float32)
     wb = mlp.weights[0][c:].astype(jnp.float32)
     b0 = jnp.zeros((8, c), jnp.float32).at[0].set(mlp.biases[0].astype(jnp.float32))
     w_stack = jnp.stack([w.astype(jnp.float32) for w in mlp.weights[1:]])
     b_stack = jnp.stack([b.astype(jnp.float32) for b in mlp.biases[1:]])
 
-    def _raw(f, xv, wa, wb, b0, w_stack, b_stack):
+    def _raw(lvl, f, xv, wa, wb, b0, w_stack, b_stack):
+        # All layout-derived arrays are computed HERE from lvl's leaves (no
+        # closure over staged values — remat re-traces this body).
+        chunk_block, first, last = _chunk_tables(lvl)
+        num_chunks = e_pad // be
+        rows8 = -(-num_chunks // 8) * 8
+        recv_packed = jnp.pad(
+            lvl.receivers.reshape(-1, be).astype(jnp.int32),
+            ((0, rows8 - num_chunks), (0, 0)), constant_values=n_pad - 1,
+        )
         call = _get_call(e_pad, n_pad, c, jnp.dtype(feat_dtype).name, be,
                          n_layers, op_dtype, jnp.dtype(out_dtype).name,
                          interpret)
-        return call(jnp.asarray(chunk_block), jnp.asarray(first),
-                    jnp.asarray(last), f.astype(feat_dtype), recv_packed,
-                    xv, wa, wb, b0, w_stack, b_stack)
+        return call(chunk_block, first, last, f.astype(feat_dtype),
+                    recv_packed, xv, wa, wb, b0, w_stack, b_stack)
 
     @jax.custom_vjp
     def run(lvl, f, xv, wa, wb, b0, w_stack, b_stack):
-        return _raw(f, xv, wa, wb, b0, w_stack, b_stack)
+        return _raw(lvl, f, xv, wa, wb, b0, w_stack, b_stack)
 
     def fwd(lvl, f, xv, wa, wb, b0, w_stack, b_stack):
-        return _raw(f, xv, wa, wb, b0, w_stack, b_stack), (
+        return _raw(lvl, f, xv, wa, wb, b0, w_stack, b_stack), (
             lvl, f, xv, wa, wb, b0, w_stack, b_stack
         )
 

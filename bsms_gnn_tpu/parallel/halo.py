@@ -546,6 +546,10 @@ def make_halo_train_step(trainer, mesh: Mesh, plan: PartitionPlan,
                 )
         return jit_step(state, hier_dev, node_in, node_tar, node_mask, key)
 
+    # Introspection handles (benchmarks/scaling_model.py reads the compiled
+    # HLO's collective inventory off these).
+    step._jit = jit_step
+    step._hier_dev = hier_dev
     return step
 
 

@@ -161,3 +161,77 @@ def test_conv_adjoint_pair_matches_ell(level, rng):
         np.testing.assert_allclose(
             np.asarray(fastb[0]), np.asarray(single), rtol=1e-6, atol=1e-6
         )
+
+
+def test_fused_agg_node_phase_matches_unfused(level, rng):
+    """ops/pallas/agg_node.py: aggregation + node MLP + LN + residual in one
+    kernel must match segment-sum followed by the node-phase math (values
+    AND grads to feat/x/weights), masked to real nodes."""
+    from bsms_gnn_tpu.ops.dense import init_mlp, mlp_apply_tail, dense
+    from bsms_gnn_tpu.ops.pallas.agg_node import fused_aggregate_node_phase
+
+    c = 128
+    mlp = init_mlp(jax.random.PRNGKey(4), 2 * c, c, c, 2, True)
+    feat = jnp.asarray(
+        rng.standard_normal((level.n_pad_edges, c)).astype(np.float32)
+    )
+    x = jnp.asarray(
+        (rng.standard_normal((level.n_pad_nodes, c))
+         * np.asarray(level.node_mask)).astype(np.float32)
+    )
+    mask = jnp.asarray(level.node_mask)
+
+    def unfused(feat, x, mlp):
+        aggr = aggregate_recv(level, feat, "segment")
+        wn = mlp.weights[0]
+        pre = dense(x, wn[:c], mlp.biases[0]) + dense(aggr, wn[c:], 0.0)
+        return mlp_apply_tail(mlp, pre) + x
+
+    out = fused_aggregate_node_phase(level, feat, x, mlp)
+    assert out is not None
+    want = unfused(feat, x, mlp)
+    n = level.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(want)[:n], rtol=2e-5, atol=2e-5
+    )
+
+    def loss_fused(feat, x, mlp):
+        return jnp.sum(jnp.square(
+            fused_aggregate_node_phase(level, feat, x, mlp) * mask
+        ))
+
+    def loss_unfused(feat, x, mlp):
+        return jnp.sum(jnp.square(unfused(feat, x, mlp) * mask))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feat, x, mlp)
+    gu = jax.grad(loss_unfused, argnums=(0, 1, 2))(feat, x, mlp)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gu)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-4, atol=2e-5
+        )
+
+
+def test_fused_agg_node_phase_batched(level, rng):
+    from bsms_gnn_tpu.ops.dense import init_mlp, mlp_apply_tail, dense
+    from bsms_gnn_tpu.ops.pallas.agg_node import fused_aggregate_node_phase
+
+    c = 128
+    mlp = init_mlp(jax.random.PRNGKey(5), 2 * c, c, c, 2, True)
+    feat = jnp.asarray(
+        rng.standard_normal((3, level.n_pad_edges, c)).astype(np.float32)
+    )
+    x = jnp.asarray(
+        (rng.standard_normal((3, level.n_pad_nodes, c))
+         * np.asarray(level.node_mask)).astype(np.float32)
+    )
+    out = fused_aggregate_node_phase(level, feat, x, mlp)
+    assert out is not None
+    aggr = aggregate_recv(level, feat, "segment")
+    wn = mlp.weights[0]
+    pre = dense(x, wn[:c], mlp.biases[0]) + dense(aggr, wn[c:], 0.0)
+    want = mlp_apply_tail(mlp, pre) + x
+    n = level.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :n], np.asarray(want)[:, :n], rtol=2e-5, atol=2e-5
+    )
