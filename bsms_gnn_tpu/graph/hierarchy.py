@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 14
+CACHE_VERSION = 15
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -176,6 +176,17 @@ class TransOp:
     ew: np.ndarray  # [E_pad] f64 operator coefficients (0 on pad slots)
     n_in_pad: int = struct.field(pytree_node=False)
     edge_block: int = struct.field(pytree_node=False, default=EDGE_BLOCK)
+    # Windowed-selection tables over the INPUT space (built when the level
+    # is windowed): the operator application then runs the gather-free
+    # windowed one-hot kernel (ops/pallas/windowed.py) instead of a
+    # `take` — at 1M scale the row gather is the transition stack's floor
+    # (issue-rate-bound, PARITY.md roofline §6). Out-of-window entries ride
+    # `resid` (a skip-empty mini TransOp) through take + accumulate.
+    send_win: Optional[np.ndarray] = None  # [E_pad] rel. window idx
+    win_base: Optional[np.ndarray] = None  # [E_pad // edge_block] int32
+    resid: Optional["TransOp"] = None
+    window: int = struct.field(pytree_node=False, default=0)
+    skip_empty: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_pad_nodes(self) -> int:  # OUTPUT rows (kernel contract)
@@ -388,20 +399,30 @@ def _pad_level(
 def _pad_trans_layout(
     s: np.ndarray, r: np.ndarray, w: np.ndarray,
     n_in_pad: int, n_out_pad: int, edge_block: int,
+    window: int = 0, min_chunks: bool = True,
 ) -> TransOp:
     """Block-aligned receiver-sorted layout for a rectangular operator:
     outputs r (in [0, n_out_pad)), inputs s (in [0, n_in_pad)), weights w.
     Same slotting scheme as `_pad_level` (≥1 chunk per 128-row output block;
-    pad slots self-loop on the pad rows with weight 0)."""
+    pad slots self-loop on the pad rows with weight 0). `window` > 0 builds
+    the input-space windowed-selection tables (sender-sorted chunks, per-
+    chunk window vote, skip-empty residual sub-op for uncovered entries —
+    no symmetrization: rectangular operators have no reverse twins)."""
     assert n_out_pad % NODE_BLOCK == 0
-    order = np.lexsort((s, r))
+    if window:
+        window = min(window, n_in_pad)
+        assert window % 2 == 0 and n_in_pad % (window // 2) == 0
+        order = np.lexsort((r, s, r // NODE_BLOCK))
+    else:
+        order = np.lexsort((s, r))
     s_sorted = s[order].astype(np.int64)
     r_sorted = r[order].astype(np.int64)
     w_sorted = np.asarray(w, np.float64)[order]
 
     recv_counts = np.bincount(r_sorted, minlength=n_out_pad)
     block_counts = recv_counts.reshape(-1, NODE_BLOCK).sum(axis=1)
-    seg_lens = -(-np.maximum(block_counts, 1) // edge_block) * edge_block
+    min_per_block = np.maximum(block_counts, 1) if min_chunks else block_counts
+    seg_lens = -(-min_per_block // edge_block) * edge_block
     e_pad = int(seg_lens.sum())
 
     block_starts = np.zeros(len(seg_lens) + 1, np.int64)
@@ -415,9 +436,11 @@ def _pad_trans_layout(
 
     senders = np.full(e_pad, n_in_pad - 1, dtype=np.int32)
     receivers = np.full(e_pad, n_out_pad - 1, dtype=np.int32)
+    edge_mask = np.zeros(e_pad, np.float32)
     ew = np.zeros(e_pad, np.float64)
     senders[slots] = s_sorted
     receivers[slots] = r_sorted
+    edge_mask[slots] = 1.0
     ew[slots] = w_sorted
 
     within = recv_counts.reshape(-1, NODE_BLOCK)
@@ -426,6 +449,31 @@ def _pad_trans_layout(
     recv_indptr[:n_out_pad] = (block_starts[:-1, None] + within_cum).reshape(-1)
     recv_indptr[n_out_pad] = e_pad
     recv_ell = _build_ell(r_sorted, slots, n_out_pad, e_pad)
+
+    send_win = win_base = resid = None
+    if window:
+        # Per-chunk window vote over the INPUT space; identity reverse_perm
+        # disables the symmetrization step (see _window_vote).
+        base, covered = _window_vote(
+            senders, edge_mask, np.arange(e_pad, dtype=np.int32),
+            n_in_pad, window, edge_block,
+        )
+        wh = window // 2
+        lo = np.repeat(base, edge_block) * wh
+        send_win = np.where(
+            covered, senders - lo, window
+        ).astype(np.int32)
+        win_base = base.astype(np.int32)
+        uncov = (edge_mask > 0) & ~covered
+        if uncov.any():
+            resid = _pad_trans_layout(
+                senders[uncov].astype(np.int64),
+                receivers[uncov].astype(np.int64),
+                ew[uncov], n_in_pad, n_out_pad,
+                min(edge_block, EDGE_BLOCK), window=0, min_chunks=False,
+            )
+            resid = resid.replace(skip_empty=True)
+
     return TransOp(
         senders=senders,
         receivers=receivers,
@@ -434,12 +482,17 @@ def _pad_trans_layout(
         ew=ew,
         n_in_pad=n_in_pad,
         edge_block=edge_block,
+        send_win=send_win,
+        win_base=win_base,
+        resid=resid,
+        window=window,
+        skip_empty=not min_chunks,
     )
 
 
 def _build_trans_ops(
     flat_edges: np.ndarray, ec: np.ndarray, kept: np.ndarray,
-    parent_pad: int, child_pad: int, edge_block: int,
+    parent_pad: int, child_pad: int, edge_block: int, window: int = 0,
 ) -> Tuple[TransOp, TransOp]:
     """Fused transition operators from level-l raw edges + offline cal_ew
     weights + the kept-node ids (see TransOp). Only edges whose receiver is
@@ -453,8 +506,10 @@ def _build_trans_ops(
     s_par = snd[sel]  # parent-space inputs (down) / outputs (up)
     r_chd = local_of[rcv[sel]]  # child-space outputs (down) / inputs (up)
     w = np.asarray(ec, np.float64)[sel]
-    down = _pad_trans_layout(s_par, r_chd, w, parent_pad, child_pad, edge_block)
-    up = _pad_trans_layout(r_chd, s_par, w, child_pad, parent_pad, edge_block)
+    down = _pad_trans_layout(s_par, r_chd, w, parent_pad, child_pad,
+                             edge_block, window=window)
+    up = _pad_trans_layout(r_chd, s_par, w, child_pad, parent_pad,
+                           edge_block, window=window)
     return down, up
 
 
@@ -763,7 +818,7 @@ def pad_levels(
         if node_buckets is None and edge_buckets is None:
             down_op, up_op = _build_trans_ops(
                 graphs[l].flat_edges, ecs[l], kept, parent_pad, child_pad,
-                edge_block,
+                edge_block, window=windows[l],
             )
         transitions.append(Transition(
             pool_ids=pool_ids, unpool_inv=unpool_inv,
@@ -876,13 +931,21 @@ def _trans_op_arrays(prefix: str, op: TransOp, arrays: dict) -> None:
     arrays[f"{prefix}_recv_indptr"] = op.recv_indptr
     arrays[f"{prefix}_recv_ell"] = op.recv_ell
     arrays[f"{prefix}_ew"] = op.ew
-    arrays[f"{prefix}_meta"] = np.array([op.n_in_pad, op.edge_block], np.int64)
+    arrays[f"{prefix}_meta"] = np.array(
+        [op.n_in_pad, op.edge_block, op.window, int(op.skip_empty)], np.int64
+    )
+    if op.send_win is not None:
+        arrays[f"{prefix}_send_win"] = op.send_win
+        arrays[f"{prefix}_win_base"] = op.win_base
+    if op.resid is not None:
+        _trans_op_arrays(f"{prefix}r", op.resid, arrays)
 
 
 def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
     if f"{prefix}_meta" not in z:
         return None
     meta = z[f"{prefix}_meta"]
+    has_win = f"{prefix}_send_win" in z
     return TransOp(
         senders=z[f"{prefix}_senders"],
         receivers=z[f"{prefix}_receivers"],
@@ -891,6 +954,11 @@ def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
         ew=z[f"{prefix}_ew"],
         n_in_pad=int(meta[0]),
         edge_block=int(meta[1]),
+        send_win=z[f"{prefix}_send_win"] if has_win else None,
+        win_base=z[f"{prefix}_win_base"] if has_win else None,
+        resid=_trans_op_from_arrays(f"{prefix}r", z),
+        window=int(meta[2]) if meta.size > 2 else 0,
+        skip_empty=bool(meta[3]) if meta.size > 3 else False,
     )
 
 

@@ -56,15 +56,17 @@ def init_bsgmp(
 
 
 def _use_fused_trans(trans, level, method: str) -> bool:
-    """Fused transition operators apply on unwindowed single-chip
-    pallas/fused paths (see trans_down/trans_up); parity-oracle (ell/
-    segment), halo, windowed, and bucketed (down_op=None) paths keep the
-    explicit conv+pool/unpool+conv sequence."""
-    return (
-        method in ("pallas", "fused")
-        and getattr(trans, "down_op", None) is not None
-        and level.window == 0
-    )
+    """Fused transition operators apply on single-chip pallas/fused paths
+    (see trans_down/trans_up): unwindowed levels use the take+segment-sum
+    form; windowed levels require windowed TransOps (in-kernel selection —
+    a raw `take` would reintroduce the issue-rate-bound row gather the
+    windowed layout exists to kill, measured 559 -> 617 ms at 1M).
+    Parity-oracle (ell/segment), halo, and bucketed (down_op=None) paths
+    keep the explicit conv+pool/unpool+conv sequence."""
+    op = getattr(trans, "down_op", None)
+    if method not in ("pallas", "fused") or op is None:
+        return False
+    return level.window == 0 or op.window > 0
 
 
 def bsgmp_apply(

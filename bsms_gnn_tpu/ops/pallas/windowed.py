@@ -289,6 +289,42 @@ def windowed_send_sum_raw(level, vals) -> Optional[jax.Array]:
     return jnp.where(rows_a, out_a, zero) + jnp.where(rows_b, out_b, zero)
 
 
+def windowed_rect_conv_raw(op, x) -> Optional[jax.Array]:
+    """Rectangular windowed operator application (fused level transitions,
+    graph/hierarchy.py::TransOp): out[k] = Σ_{in-window e: recv(e)=k}
+    ew_e · x[send_e], x in the INPUT space ([n_in_pad, C]), out in the
+    OUTPUT space ([n_pad_nodes, C]). The same kernel as windowed_conv_raw —
+    windows index the x operand, output blocks the out_shape, and nothing
+    ties the two sizes together. Residual entries (op.resid) are NOT
+    included. No custom VJP (the adjoint is the transposed TransOp)."""
+    if getattr(op, "window", 0) <= 0 or op.send_win is None:
+        return None
+    if x.ndim == 3:
+        return jax.vmap(lambda xi: windowed_rect_conv_raw(op, xi))(x)
+    if x.ndim != 2 or x.shape[-1] % 128:
+        return None
+    wh = op.window // 2
+    be = getattr(op, "edge_block", 128)
+    n_out, e_pad = op.n_pad_nodes, op.n_pad_edges
+    if (x.shape[-2] != op.n_in_pad or op.n_in_pad % wh or n_out % BN
+            or e_pad % be or op.recv_indptr.ndim != 1):
+        return None
+    interpret = jax.default_backend() != "tpu"
+    c = x.shape[-1]
+    f32_mode = x.dtype != jnp.bfloat16
+    num_chunks = e_pad // be
+
+    from bsms_gnn_tpu.ops.pallas.fused_gmp import _chunk_tables
+
+    chunk_block, first, recv = _chunk_tables(op)
+    sw = _pack_rows(op.send_win.astype(jnp.int32), be, num_chunks, op.window)
+    ewp = _pack_rows(op.ew.astype(jnp.float32), be, num_chunks, 0)
+    call = _get_call(e_pad, n_out, c, wh, be, f32_mode, interpret)
+    x_dt = x if not f32_mode else x.astype(jnp.float32)
+    return call(chunk_block, first, op.win_base.astype(jnp.int32),
+                x_dt, x_dt, sw, recv, ewp)
+
+
 def windowed_conv_raw(level, x, ew) -> Optional[jax.Array]:
     """out[n] = Σ_{e: recv(e)=n, in-window} ew_e · x[send_e], with NO custom
     VJP (callers define the adjoint over the full conv; ops/message.py pairs

@@ -26,7 +26,25 @@ from bsms_gnn_tpu.ops.scatter import _ell_sum
 
 def _apply(op: TransOp, x, method: str):
     """out[..., k, :] = Σ_e ew[e] · x[..., senders[e], :] summed at
-    receivers[e]. x: [..., N_in_pad, C] → [..., N_out_pad, C]."""
+    receivers[e]. x: [..., N_in_pad, C] → [..., N_out_pad, C].
+
+    On windowed layouts the selection runs in-kernel (no row gather —
+    issue-rate-bound at 1M scale); out-of-window entries accumulate via
+    the skip-empty residual sub-op."""
+    if method in ("pallas", "fused") and op.window > 0:
+        from bsms_gnn_tpu.ops.pallas.windowed import windowed_rect_conv_raw
+
+        out = windowed_rect_conv_raw(op, x)
+        if out is not None:
+            r = op.resid
+            if r is not None:
+                from bsms_gnn_tpu.ops.pallas import segment_sum_accum_raw
+
+                msg = (jnp.take(x, r.senders, axis=-2)
+                       * r.ew.astype(x.dtype)[..., None])
+                acc = segment_sum_accum_raw(r, msg, out)
+                out = acc if acc is not None else out + _ell_sum(msg, r.recv_ell)
+            return out.astype(x.dtype)
     msg = jnp.take(x, op.senders, axis=-2) * op.ew.astype(x.dtype)[..., None]
     if method in ("pallas", "fused"):
         from bsms_gnn_tpu.ops.pallas import segment_sum_raw

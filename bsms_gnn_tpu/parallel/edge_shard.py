@@ -56,6 +56,9 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
         return None if op is None else op.replace(
             senders=edge, receivers=edge, recv_indptr=repl, recv_ell=repl,
             ew=edge,
+            send_win=None if op.send_win is None else edge,
+            win_base=None if op.win_base is None else repl,
+            resid=trans_op_spec(op.resid),
         )
 
     levels = tuple(level_spec(l) for l in h.levels)

@@ -124,3 +124,54 @@ def test_full_forward_pallas_matches_ell(hier, rng):
     np.testing.assert_allclose(
         np.asarray(out_p)[:n], np.asarray(out_e)[:n], rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.fixture(scope="module")
+def hier_win():
+    """Windowed hierarchy on a larger grid (window << N so real residual
+    edges exist on level 0)."""
+    pos, cells = make_grid_mesh(28, 24)
+    from bsms_gnn_tpu.graph.order import reorder_mesh
+
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    levels = build_bistride_levels(edges, 2, pos.shape[0], pos)
+    return pad_levels(levels, pad_multiple=128, pos=pos, window=128)
+
+
+@pytest.mark.parametrize("c", [128, 2])
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_windowed_fused_matches_conv_pool(hier_win, rng, lvl, c):
+    """Windowed TransOps (in-kernel selection + skip-empty residual) must
+    match the explicit windowed conv -> pool / unpool -> conv sequence."""
+    level, t = hier_win.levels[lvl], hier_win.transitions[lvl]
+    assert t.down_op is not None and t.down_op.window > 0
+    x = _rand_nodes(rng, level, c)
+    ref = pool_nodes(t, edge_conv_down(level, x, None, "ell"))
+    got = trans_down(t, x, "pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    y = _rand_nodes(rng, hier_win.levels[lvl + 1], c)
+    ref_u = edge_conv_up(level, unpool_nodes(t, y), None, "ell")
+    got_u = trans_up(t, y, "pallas")
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_fused_has_residual_and_grads(hier_win, rng):
+    t = hier_win.transitions[0]
+    # The 128-wide window on a 672-node level must leave residual entries —
+    # otherwise this test isn't exercising the accumulate path.
+    assert t.down_op.resid is not None
+    level = hier_win.levels[0]
+    x = _rand_nodes(rng, level, 128)
+    tar = _rand_nodes(rng, hier_win.levels[1], 128)
+    g_fused = jax.grad(lambda v: jnp.sum((trans_down(t, v, "pallas") - tar) ** 2))(x)
+    g_ref = jax.grad(
+        lambda v: jnp.sum(
+            (pool_nodes(t, edge_conv_down(level, v, None, "ell")) - tar) ** 2
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
