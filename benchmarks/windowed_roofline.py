@@ -32,7 +32,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from kernel_roofline import _scan_time, measure_roofs  # noqa: E402
+from kernel_roofline import measure_roofs  # noqa: E402
+from profile_1m import _scan_time  # noqa: E402  (consts ride as jit args —
+# closure-embedded level tables blow the tunnel's compile size limit)
 
 
 def main(n_nodes=1_000_000, depth=7, window=512, dtype="bfloat16", c=128):
@@ -95,27 +97,27 @@ def main(n_nodes=1_000_000, depth=7, window=512, dtype="bfloat16", c=128):
             print(f"{l:>3} kernel unsupported")
             continue
 
-        def fwd_body(pair):
+        def fwd_body(pair, lvl):
             a, b = pair
-            out = fused_edge_phase_win(level, a, b, wf8, tail_w, tail_b)
+            out = fused_edge_phase_win(lvl, a, b, wf8, tail_w, tail_b)
             return (a + 1e-6 * out.astype(a.dtype), b)
 
-        t_f = _scan_time(fwd_body, (xwi, xj), 20, pipelined_timeit)
+        t_f = _scan_time(fwd_body, (xwi, xj), 20, pipelined_timeit,
+                         consts=(level,))
 
         cot = jnp.asarray(rng.standard_normal((n_pad, c)), jnp.float32)
 
-        def loss(a, b):
-            out = fused_edge_phase_win(level, a, b, wf8, tail_w, tail_b)
-            return jnp.vdot(out, cot)
+        def bwd_body(pair, lvl, ct):
+            def loss(a, b):
+                out = fused_edge_phase_win(lvl, a, b, wf8, tail_w, tail_b)
+                return jnp.vdot(out, ct)
 
-        grad = jax.grad(loss, argnums=(0, 1))
-
-        def bwd_body(pair):
-            ga, gb = grad(*pair)
+            ga, gb = jax.grad(loss, argnums=(0, 1))(*pair)
             return (pair[0] + 1e-6 * ga.astype(pair[0].dtype),
                     pair[1] + 1e-6 * gb.astype(pair[1].dtype))
 
-        t_b = _scan_time(bwd_body, (xwi, xj), 10, pipelined_timeit) - t_f
+        t_b = _scan_time(bwd_body, (xwi, xj), 10, pipelined_timeit,
+                         consts=(level, cot)) - t_f
 
         chunks = e_pad // level.edge_block
         min_bytes = 2 * n_pad * c * sz + 32 * e_pad + n_pad * c * 4

@@ -172,7 +172,6 @@ class TransOp:
     senders: np.ndarray  # [E_pad] INPUT-space rows
     receivers: np.ndarray  # [E_pad] OUTPUT-space rows (block-sorted)
     recv_indptr: np.ndarray  # [N_out_pad + 1]
-    recv_ell: np.ndarray  # [N_out_pad, K] slots per output row (pad = E_pad)
     ew: np.ndarray  # [E_pad] f64 operator coefficients (0 on pad slots)
     n_in_pad: int = struct.field(pytree_node=False)
     edge_block: int = struct.field(pytree_node=False, default=EDGE_BLOCK)
@@ -190,7 +189,7 @@ class TransOp:
 
     @property
     def n_pad_nodes(self) -> int:  # OUTPUT rows (kernel contract)
-        return self.recv_ell.shape[-2]
+        return self.recv_indptr.shape[-1] - 1
 
     @property
     def n_pad_edges(self) -> int:
@@ -448,7 +447,9 @@ def _pad_trans_layout(
     recv_indptr = np.zeros(n_out_pad + 1, np.int64)
     recv_indptr[:n_out_pad] = (block_starts[:-1, None] + within_cum).reshape(-1)
     recv_indptr[n_out_pad] = e_pad
-    recv_ell = _build_ell(r_sorted, slots, n_out_pad, e_pad)
+    # No ELL table: the narrow-width fallback uses the sorted segment-sum
+    # ([N_out, K] ELL tables cost >1 GB device memory at 1M scale for a
+    # path only the <8-channel dyn streams and parity oracles take).
 
     send_win = win_base = resid = None
     if window:
@@ -478,7 +479,6 @@ def _pad_trans_layout(
         senders=senders,
         receivers=receivers,
         recv_indptr=recv_indptr.astype(np.int32),
-        recv_ell=recv_ell,
         ew=ew,
         n_in_pad=n_in_pad,
         edge_block=edge_block,
@@ -929,7 +929,6 @@ def _trans_op_arrays(prefix: str, op: TransOp, arrays: dict) -> None:
     arrays[f"{prefix}_senders"] = op.senders
     arrays[f"{prefix}_receivers"] = op.receivers
     arrays[f"{prefix}_recv_indptr"] = op.recv_indptr
-    arrays[f"{prefix}_recv_ell"] = op.recv_ell
     arrays[f"{prefix}_ew"] = op.ew
     arrays[f"{prefix}_meta"] = np.array(
         [op.n_in_pad, op.edge_block, op.window, int(op.skip_empty)], np.int64
@@ -950,7 +949,6 @@ def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
         senders=z[f"{prefix}_senders"],
         receivers=z[f"{prefix}_receivers"],
         recv_indptr=z[f"{prefix}_recv_indptr"],
-        recv_ell=z[f"{prefix}_recv_ell"],
         ew=z[f"{prefix}_ew"],
         n_in_pad=int(meta[0]),
         edge_block=int(meta[1]),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from bsms_gnn_tpu.graph.hierarchy import Transition, TransOp
-from bsms_gnn_tpu.ops.scatter import _ell_sum
+from bsms_gnn_tpu.ops.scatter import _seg_sum
 
 
 def _apply(op: TransOp, x, method: str):
@@ -43,7 +43,9 @@ def _apply(op: TransOp, x, method: str):
                 msg = (jnp.take(x, r.senders, axis=-2)
                        * r.ew.astype(x.dtype)[..., None])
                 acc = segment_sum_accum_raw(r, msg, out)
-                out = acc if acc is not None else out + _ell_sum(msg, r.recv_ell)
+                out = acc if acc is not None else out + _seg_sum(
+                    msg, r.receivers, r.n_pad_nodes
+                )
             return out.astype(x.dtype)
     msg = jnp.take(x, op.senders, axis=-2) * op.ew.astype(x.dtype)[..., None]
     if method in ("pallas", "fused"):
@@ -52,7 +54,7 @@ def _apply(op: TransOp, x, method: str):
         out = segment_sum_raw(op, msg)
         if out is not None:
             return out.astype(x.dtype)
-    return _ell_sum(msg, op.recv_ell)
+    return _seg_sum(msg, op.receivers, op.n_pad_nodes)
 
 
 def _make_pair(direction: str):

@@ -54,7 +54,7 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
 
     def trans_op_spec(op):
         return None if op is None else op.replace(
-            senders=edge, receivers=edge, recv_indptr=repl, recv_ell=repl,
+            senders=edge, receivers=edge, recv_indptr=repl,
             ew=edge,
             send_win=None if op.send_win is None else edge,
             win_base=None if op.win_base is None else repl,
