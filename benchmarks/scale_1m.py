@@ -51,6 +51,8 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
         f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
         f"model.aggregation={aggregation}",
         f"model.compute_dtype={dtype}",
+        # mode "train_noremat" recomputes nothing in the backward — fits in
+        # 16 GB at 1M bf16 since the TransOp ELL tables were dropped (r3).
         "model.remat=" + ("true" if mode == "train" else "false"),
         # No normalizer warmup: the warmup branch of the trainer's lax.cond
         # skips backward+optimizer entirely (30 ms/step at 1M!) and must
@@ -139,7 +141,8 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
                            jax.random.fold_in(key, i))
         float(loss)
         dt = (time.time() - t0) / steps
-        print(f"train[{n_nodes}n,d{depth},remat]: {dt*1e3:.0f} ms/step, "
+        tag = "remat" if cfg.model.remat else "noremat"
+        print(f"train[{n_nodes}n,d{depth},{tag}]: {dt*1e3:.0f} ms/step, "
               f"{total_edges/dt/1e9:.2f} Gedges/s", flush=True)
 
 

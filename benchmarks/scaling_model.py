@@ -67,7 +67,8 @@ def _collective_bytes(hlo_text: str):
     return out
 
 
-def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8)):
+def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
+         compile_hlo=True):
     import jax
     import jax.numpy as jnp
 
@@ -126,23 +127,25 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8)):
             levels, s, n_pad, pos.astype(np.float64),
             local_layouts=True, window=512,
         )
-        mesh = make_mesh(1, s, devices=jax.devices()[:s])
         tr = Trainer(cfg)
-        step = make_halo_train_step(tr, mesh, plan)
-
-        # Exact collective inventory from the compiled train step.
-        ni = jnp.asarray(partition_nodes(plan, node_in))
-        nt = jnp.asarray(partition_nodes(plan, node_tar))
-        nm = jnp.asarray(partition_nodes(plan, mask))
-        key = jax.random.PRNGKey(0)
-        # Lower BEFORE executing (donate_argnums would invalidate state).
-        hlo = (
-            step._jit.lower(tr.state, step._hier_dev, ni, nt, nm, key)
-            .compile().as_text()
-        )
-        collectives = _collective_bytes(hlo)
-        state, loss = step(tr.state, ni, nt, nm, key)
-        jax.block_until_ready(loss)
+        loss = float("nan")
+        collectives = {}
+        if compile_hlo:
+            # Exact collective inventory from the compiled train step.
+            mesh = make_mesh(1, s, devices=jax.devices()[:s])
+            step = make_halo_train_step(tr, mesh, plan)
+            ni = jnp.asarray(partition_nodes(plan, node_in))
+            nt = jnp.asarray(partition_nodes(plan, node_tar))
+            nm = jnp.asarray(partition_nodes(plan, mask))
+            key = jax.random.PRNGKey(0)
+            # Lower BEFORE executing (donate_argnums would invalidate state).
+            hlo = (
+                step._jit.lower(tr.state, step._hier_dev, ni, nt, nm, key)
+                .compile().as_text()
+            )
+            collectives = _collective_bytes(hlo)
+            state, loss = step(tr.state, ni, nt, nm, key)
+            jax.block_until_ready(loss)
 
         # per-level halo geometry (exact)
         lvl_rows = []
@@ -202,7 +205,9 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8)):
             flush=True,
         )
 
-    out = os.path.join(os.path.dirname(__file__), "out", "scaling_model.json")
+    name = ("scaling_model.json" if n_nodes <= 16000
+            else f"scaling_model_{n_nodes}.json")
+    out = os.path.join(os.path.dirname(__file__), "out", name)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
@@ -210,9 +215,10 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8)):
 
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
+    a = [x for x in sys.argv[1:] if not x.startswith("--")]
     main(
         int(a[0]) if a else 16000,
         int(a[1]) if len(a) > 1 else 7,
         float(a[2]) if len(a) > 2 else 16.2,
+        compile_hlo=("--no-compile" not in sys.argv),
     )
