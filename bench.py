@@ -95,6 +95,26 @@ def _build(kind: str, n_nodes: int, depth: int):
     edges = to_flat_edge(cells, "tri")
     h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))
 
+    # Mesh-comparability stats (VERDICT r2 weak #4): for any closed 2-D
+    # triangulation Euler's formula forces E_undirected ≈ 3N (mean degree
+    # ≈ 6), so node count + triangulation pins the edge count to the real
+    # airfoil's within boundary effects; the degree tail and edge-length
+    # skew quantify the grading (the real airfoil is strongly graded
+    # toward the body — a uniform carpet would understate gather locality
+    # pressure).
+    deg = np.bincount(np.asarray(edges[1]), minlength=pos.shape[0])
+    el = np.linalg.norm(pos[edges[0]] - pos[edges[1]], axis=-1)
+    stats = {
+        "n_nodes": int(pos.shape[0]),
+        "directed_edges": int(edges.shape[1]),
+        "edges_over_nodes": round(edges.shape[1] / pos.shape[0], 2),
+        "degree_mean": round(float(deg.mean()), 2),
+        "degree_p95": int(np.percentile(deg, 95)),
+        "edge_len_p95_over_p5": round(
+            float(np.percentile(el, 95) / np.percentile(el, 5)), 1
+        ),
+    }
+
     n, n_pad = pos.shape[0], h.levels[0].n_pad_nodes
     c = cfg.model.out_dim
     pd = cfg.model.pos_dim
@@ -108,7 +128,7 @@ def _build(kind: str, n_nodes: int, depth: int):
     node_in[:n, -1:] = node_type
     mask = np.zeros((n_pad, 1), np.float32)
     mask[:n] = (node_type[:, 0] == 0)[:, None]
-    return cfg, h, jnp.asarray(node_in), jnp.asarray(mask), n
+    return cfg, h, jnp.asarray(node_in), jnp.asarray(mask), n, stats
 
 
 def _time_forward(cfg, h, node_in, mask, n_real, compute_dtype=None) -> float:
@@ -126,7 +146,12 @@ def _time_forward(cfg, h, node_in, mask, n_real, compute_dtype=None) -> float:
     )
     out = fwd(node_in, mask)  # compile + warm
     assert np.all(np.isfinite(np.asarray(out[:n_real])))
-    return pipelined_timeit(lambda: fwd(node_in, mask), steps=50, warmup=3)
+    # Best of 3 repeats: the tunneled chip shows ±8% run-to-run drift;
+    # each repeat is already a 50-dispatch pipelined average.
+    return min(
+        pipelined_timeit(lambda: fwd(node_in, mask), steps=50, warmup=3)
+        for _ in range(3)
+    )
 
 
 def main() -> None:
@@ -136,7 +161,7 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    cfg5, h5, ni5, m5, n5 = _build("airfoil", 5233, 7)
+    cfg5, h5, ni5, m5, n5, stats5 = _build("airfoil", 5233, 7)
     t5 = _time_forward(cfg5, h5, ni5, m5, n5)
     ms5 = 1e3 * t5
     # The TPU-native precision recipe (README "bf16 recipe": f32 master
@@ -146,7 +171,7 @@ def main() -> None:
     except Exception:
         ms5_bf16 = float("nan")
 
-    cfg16, h16, ni16, m16, n16 = _build("surface", 16000, 7)
+    cfg16, h16, ni16, m16, n16, _stats16 = _build("surface", 16000, 7)
     t16 = _time_forward(cfg16, h16, ni16, m16, n16)
     ms16 = 1e3 * t16
     try:
@@ -171,6 +196,7 @@ def main() -> None:
                 "infer_5k_bf16_ms": round(ms5_bf16, 4),
                 "infer_16k_bf16_ms": round(ms16_bf16, 4),
                 "n_nodes": {"airfoil": n5, "surface": n16},
+                "mesh_stats_5k": stats5,
             }
         )
     )
