@@ -109,7 +109,7 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
                 prm, nin, nout, hh, ni, m, cfg.model, compute_dtype
             )
         )
-        from bsms_gnn_tpu.utils.timing import device_sync, pipelined_timeit
+        from bsms_gnn_tpu.utils.timing import pipelined_timeit
 
         args = (state.params, state.norm_in, state.norm_out, h)
         t0 = time.time()
@@ -157,8 +157,6 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
               f"{tail:.4f} over {len(losses)} steps "
               f"({'DECREASED' if tail < head else 'FLAT'})", flush=True)
     else:
-        import dataclasses
-
         from bsms_gnn_tpu.training import Trainer
 
         tr = Trainer(cfg)

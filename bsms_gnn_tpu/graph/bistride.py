@@ -60,11 +60,13 @@ def bstride_select(g: CsrGraph, pos: np.ndarray) -> np.ndarray:
 
 def squared_adjacency(g: CsrGraph) -> CsrGraph:
     """Graph of (A + I)^2 with the diagonal removed (pattern only)."""
-    adj = g.to_adj().tolil()
-    adj.setdiag(1)
-    indptr, indices = square_pattern(adj.tocsr(), drop_diag=True)
-    senders = np.repeat(np.arange(g.num_nodes, dtype=np.int64), np.diff(indptr))
-    return CsrGraph(np.stack([senders, indices]), g.num_nodes)
+    # A + I via sparse add (scipy's `setdiag` on CSR round-trips through
+    # LIL with per-element Python sets — measured 6.7 s of an 18.6 s
+    # 300k-node build); square_pattern's output is already row-major CSR,
+    # so skip CsrGraph's lexsort too.
+    adj = g.to_adj() + scipy.sparse.eye(g.num_nodes, format="csr")
+    indptr, indices = square_pattern(adj, drop_diag=True)
+    return CsrGraph.from_csr(indptr, indices, g.num_nodes)
 
 
 def pool_edges(g: CsrGraph, kept: np.ndarray) -> CsrGraph:

@@ -32,9 +32,26 @@ class CsrGraph:
         order = np.lexsort((flat_edges[1], flat_edges[0]))
         s, r = flat_edges[0][order], flat_edges[1][order]
         self.indptr = np.zeros(num_nodes + 1, dtype=np.int64)
-        np.add.at(self.indptr, s + 1, 1)
+        self.indptr[1:] = np.bincount(s, minlength=num_nodes)
         np.cumsum(self.indptr, out=self.indptr)
         self.indices = r
+
+    @classmethod
+    def from_csr(
+        cls, indptr: np.ndarray, indices: np.ndarray, num_nodes: int
+    ) -> "CsrGraph":
+        """Adopt already-row-major CSR arrays without re-sorting (the
+        SpGEMM output path); within-row column order is not relied upon
+        anywhere downstream."""
+        g = cls.__new__(cls)
+        g.num_nodes = int(num_nodes)
+        g.indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        g.indices = np.ascontiguousarray(indices, dtype=np.int64)
+        senders = np.repeat(
+            np.arange(num_nodes, dtype=np.int64), np.diff(g.indptr)
+        )
+        g.flat_edges = np.stack([senders, g.indices])
+        return g
 
     @classmethod
     def from_adj(cls, adj: Union[np.ndarray, scipy.sparse.spmatrix]) -> "CsrGraph":

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import struct
 
 from bsms_gnn_tpu.graph.hierarchy import Hierarchy

@@ -140,6 +140,24 @@ def test_pool_edges_relabel():
     assert {tuple(p) for p in pooled2.flat_edges.T.tolist()} == {(0, 1), (1, 0)}
 
 
+def test_from_csr_matches_constructor():
+    """The sort-free SpGEMM-output path: same adjacency as the lexsorting
+    constructor, row by row (within-row column order is unspecified)."""
+    rng = np.random.default_rng(7)
+    n, e = 50, 300
+    edges = rng.integers(0, n, size=(2, e))
+    g = CsrGraph(edges, n)
+    g2 = CsrGraph.from_csr(g.indptr, g.indices, n)
+    np.testing.assert_array_equal(g.indptr, g2.indptr)
+    for i in range(n):
+        a = np.sort(g.indices[g.indptr[i]:g.indptr[i + 1]])
+        b = np.sort(g2.indices[g2.indptr[i]:g2.indptr[i + 1]])
+        np.testing.assert_array_equal(a, b)
+    # flat_edges reconstructed row-major: senders must be non-decreasing.
+    assert np.all(np.diff(g2.flat_edges[0]) >= 0)
+    assert g2.flat_edges.shape == (2, e)
+
+
 def test_hierarchy_padding_and_ell():
     pos, cells = make_grid_mesh(10, 10)
     edges = to_flat_edge(cells, "tri")
