@@ -552,19 +552,29 @@ def _window_vote(
     cchunk = np.concatenate([chunk_of, chunk_of])
     keep = np.concatenate([real, real]) & (cand >= 0) & (cand <= max_base)
     stride = max_base + 1
-    keys, cnts = np.unique(cchunk[keep] * stride + cand[keep],
-                           return_counts=True)
-    base = np.zeros(num_chunks, np.int64)
-    if keys.size:
-        kchunk = keys // stride
-        new_run = np.r_[True, kchunk[1:] != kchunk[:-1]]
-        run_id = np.cumsum(new_run) - 1
-        run_starts = np.flatnonzero(new_run)
-        run_max = np.maximum.reduceat(cnts, run_starts)
-        at_max = np.flatnonzero(cnts == run_max[run_id])
-        runs_at = run_id[at_max]
-        first = at_max[np.r_[True, runs_at[1:] != runs_at[:-1]]]
-        base[kchunk[run_starts]] = keys[first] % stride
+    total_keys = num_chunks * stride
+    if total_keys <= 200_000_000:
+        # Dense histogram + row argmax: O(E + chunks·stride), no sort.
+        # np.argmax returns the FIRST maximum = lowest candidate, matching
+        # the unique-path tie-break; all-zero rows give base 0, matching
+        # the empty-chunk default.
+        hist = np.bincount(cchunk[keep] * stride + cand[keep],
+                           minlength=total_keys).reshape(num_chunks, stride)
+        base = np.argmax(hist, axis=1).astype(np.int64)
+    else:
+        keys, cnts = np.unique(cchunk[keep] * stride + cand[keep],
+                               return_counts=True)
+        base = np.zeros(num_chunks, np.int64)
+        if keys.size:
+            kchunk = keys // stride
+            new_run = np.r_[True, kchunk[1:] != kchunk[:-1]]
+            run_id = np.cumsum(new_run) - 1
+            run_starts = np.flatnonzero(new_run)
+            run_max = np.maximum.reduceat(cnts, run_starts)
+            at_max = np.flatnonzero(cnts == run_max[run_id])
+            runs_at = run_id[at_max]
+            first = at_max[np.r_[True, runs_at[1:] != runs_at[:-1]]]
+            base[kchunk[run_starts]] = keys[first] % stride
 
     lo = np.repeat(base, edge_block) * wh
     covered = real & (s64 >= lo) & (s64 < lo + window)
