@@ -22,10 +22,13 @@ def cells_to_edges(cells: np.ndarray, pairs) -> np.ndarray:
     """Unique undirected cell edges emitted in both directions, [2, E]."""
     cells = np.asarray(cells)
     segs = np.concatenate([cells[:, [a, b]] for a, b in pairs], axis=0)
-    lo = segs.min(axis=1)
-    hi = segs.max(axis=1)
-    packed = np.unique(np.stack([hi, lo], axis=1), axis=0)
-    s, r = packed[:, 0], packed[:, 1]
+    lo = segs.min(axis=1).astype(np.int64)
+    hi = segs.max(axis=1).astype(np.int64)
+    # Scalar-key unique (np.unique(axis=0) goes through a void-dtype view
+    # and is ~5x slower); hi*n+lo sorts identically to lexsort by (hi, lo).
+    n = int(hi.max()) + 1 if hi.size else 0
+    key = np.unique(hi * n + lo)
+    s, r = key // max(n, 1), key % max(n, 1)
     return np.stack([np.concatenate([s, r]), np.concatenate([r, s])]).astype(np.int64)
 
 
