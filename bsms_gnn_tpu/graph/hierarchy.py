@@ -847,11 +847,20 @@ def pad_levels(
 def _atomic_savez(path: str, arrays: dict) -> None:
     """Concurrency-safe cache write: unique temp name per writer (several
     sampler threads may build the same shared cache simultaneously), atomic
-    rename, last-writer-wins."""
+    rename, last-writer-wins.
+
+    Compression is adaptive: deflate costs ~37 s/GB single-threaded
+    (measured 137 s vs 27 s for the 3.7 GB 1M-mesh cache — more than half
+    the total build), so large caches are written uncompressed; small
+    per-trajectory caches keep the 3× disk saving."""
     import threading
 
     tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
-    np.savez_compressed(tmp, **arrays)
+    raw_bytes = sum(
+        a.nbytes for a in arrays.values() if hasattr(a, "nbytes")
+    )
+    save = np.savez if raw_bytes > 100_000_000 else np.savez_compressed
+    save(tmp, **arrays)
     try:
         os.replace(tmp + ".npz", path)
     except FileNotFoundError:
