@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
-         aggregation="pallas", edge_block=128, window=0):
+         aggregation="pallas", edge_block=128, window=0, remat_min=0):
     # edge_block=512 cuts the segment-sum kernel 33->19 ms (f32) at this
     # scale but inflates E_pad ~13%, which costs MORE on the XLA-side edge
     # work (gather + edge-MLP scale with E_pad): measured end-to-end
@@ -58,6 +58,10 @@ def main(n_nodes=1_000_000, depth=7, mode="infer", dtype="float32",
         # skips backward+optimizer entirely (30 ms/step at 1M!) and must
         # not be what the train benchmark times (same as train_step.py).
         "model.accumulation_steps=0",
+        # Selective remat (train mode): only levels with >= remat_min
+        # padded nodes are checkpointed — deep levels' saved activations
+        # are geometrically small while their replay is not free.
+        f"model.remat_min_nodes={remat_min}",
     ])
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     cache_dir = "/tmp/bsms-scale"
@@ -188,4 +192,5 @@ if __name__ == "__main__":
         a[4] if len(a) > 4 else "pallas",
         int(a[5]) if len(a) > 5 else 128,
         int(a[6]) if len(a) > 6 else 0,
+        int(a[7]) if len(a) > 7 else 0,
     )

@@ -83,6 +83,10 @@ class ModelConfig:
     aggregation: str = "ell"  # one of {"ell", "segment", "pallas"}
     compute_dtype: str = "float32"  # matmul compute dtype: "float32"|"bfloat16"
     remat: bool = False  # jax.checkpoint each GMP block (memory vs flops)
+    # Selective remat: only checkpoint GMPs on levels with at least this
+    # many padded nodes (level sizes halve with depth, so deep levels'
+    # saved activations are cheap while their replay is not free).
+    remat_min_nodes: int = 0
 
 
 @dataclass

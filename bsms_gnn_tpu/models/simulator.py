@@ -133,6 +133,7 @@ def simulator_forward(
         compute_dtype=compute_dtype,
         remat=cfg.remat,
         dyn_dims=dyn_dims,
+        remat_min_nodes=cfg.remat_min_nodes,
     )
     norm_pred_delta = mlp_apply(params.decode, x, compute_dtype)
 

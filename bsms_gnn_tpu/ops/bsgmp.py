@@ -78,6 +78,7 @@ def bsgmp_apply(
     remat: bool = False,
     tap=None,
     dyn_dims=None,
+    remat_min_nodes: int = 0,
 ):
     """h: [..., N_pad0, C].
 
@@ -98,11 +99,21 @@ def bsgmp_apply(
     assert len(params.down_gmps) == depth
     dyn = pos if dyn_dims else None
 
-    def gmp(p, level, h_, pos_, method_, dtype_):
+    def gmp_plain(p, level, h_, pos_, method_, dtype_):
         return gmp_apply(p, level, h_, pos_, method_, dtype_, dyn_dims)
 
-    if remat:
-        gmp = jax.checkpoint(gmp, static_argnums=(4, 5))
+    gmp_ck = jax.checkpoint(gmp_plain, static_argnums=(4, 5))
+
+    def gmp(p, level, h_, pos_, method_, dtype_):
+        # Selective remat: a GMP's saved residuals are its [N_l, C]
+        # node-side pre-transforms (the fused kernels' custom VJPs keep
+        # edge intermediates in-kernel), and level sizes halve with depth —
+        # so checkpointing the levels below `remat_min_nodes` buys almost
+        # no memory while paying a full forward replay. Only levels at or
+        # above the threshold are rematerialized.
+        if remat and level.n_pad_nodes >= remat_min_nodes:
+            return gmp_ck(p, level, h_, pos_, method_, dtype_)
+        return gmp_plain(p, level, h_, pos_, method_, dtype_)
 
     down_outs = []
     down_ps = []

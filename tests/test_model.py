@@ -166,3 +166,32 @@ def test_simulator_remat_matches():
         return jnp.sum(out * out)
     g = jax.grad(loss)(state.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_selective_remat_grads_match_full_remat():
+    """remat_min_nodes checkpoints only the levels at/above the threshold;
+    loss and gradients must equal both full remat and no remat."""
+    cfg, h, node_in, node_tar, mask, n = _tiny_setup()
+    state = init_simulator(jax.random.PRNGKey(4), cfg.model)
+
+    def grads(remat, min_nodes=0):
+        cfg.model.remat = remat
+        cfg.model.remat_min_nodes = min_nodes
+
+        def loss(p):
+            out = simulator_forward(p, state.norm_in, state.norm_out, h,
+                                    jnp.asarray(node_in), jnp.asarray(mask),
+                                    cfg.model)
+            return jnp.sum(out * out)
+
+        return jax.tree_util.tree_leaves(jax.grad(loss)(state.params))
+
+    # Threshold between level sizes so some GMPs checkpoint and some don't.
+    mid = h.levels[1].n_pad_nodes
+    full, sel, off = grads(True), grads(True, mid), grads(False)
+    for a, b in zip(full, sel):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(full, off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
