@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 15
+CACHE_VERSION = 16  # 16: dense tiny-transition operators
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -61,6 +61,11 @@ AUTO_WINDOW_CANDIDATES = (128, 256, 512, 1024)
 # Cost-model price (in selection rows per edge) of one residual-gather edge;
 # shared between choose_windows' default and the auto-build cache key.
 AUTO_RESID_ROWS = 2048
+# Transitions whose input AND output pads are at most this wide also carry a
+# dense [N_out, N_in] operator matrix (one MXU matmul instead of the
+# gather + segment-sum pair at dispatch-bound sizes). 2048x2048 f32 = 16 MB
+# worst case; typical deep-level matrices are <2 MB.
+DENSE_TRANS_MAX = 2048
 
 
 def _pad_to(n: int, multiple: int, minimum: int = 0) -> int:
@@ -186,6 +191,12 @@ class TransOp:
     resid: Optional["TransOp"] = None
     window: int = struct.field(pytree_node=False, default=0)
     skip_empty: bool = struct.field(pytree_node=False, default=False)
+    # Dense [N_out_pad, N_in_pad] form of the operator, built offline when
+    # both sides fit DENSE_TRANS_MAX: at tiny deep-level sizes one MXU
+    # matmul (~15 µs) beats the gather + segment-sum kernel pair (~60-100
+    # µs fixed cost each) — the headline meshes are dispatch-bound
+    # (PARITY.md roofline §1).
+    dense: Optional[np.ndarray] = None
 
     @property
     def n_pad_nodes(self) -> int:  # OUTPUT rows (kernel contract)
@@ -475,6 +486,12 @@ def _pad_trans_layout(
             )
             resid = resid.replace(skip_empty=True)
 
+    dense = None
+    if (window == 0 and min_chunks
+            and n_in_pad <= DENSE_TRANS_MAX and n_out_pad <= DENSE_TRANS_MAX):
+        dense = np.zeros((n_out_pad, n_in_pad), np.float32)
+        np.add.at(dense, (r_sorted, s_sorted), w_sorted.astype(np.float32))
+
     return TransOp(
         senders=senders,
         receivers=receivers,
@@ -487,6 +504,7 @@ def _pad_trans_layout(
         resid=resid,
         window=window,
         skip_empty=not min_chunks,
+        dense=dense,
     )
 
 
@@ -955,6 +973,8 @@ def _trans_op_arrays(prefix: str, op: TransOp, arrays: dict) -> None:
     if op.send_win is not None:
         arrays[f"{prefix}_send_win"] = op.send_win
         arrays[f"{prefix}_win_base"] = op.win_base
+    if op.dense is not None:
+        arrays[f"{prefix}_dense"] = op.dense
     if op.resid is not None:
         _trans_op_arrays(f"{prefix}r", op.resid, arrays)
 
@@ -976,6 +996,7 @@ def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
         resid=_trans_op_from_arrays(f"{prefix}r", z),
         window=int(meta[2]) if meta.size > 2 else 0,
         skip_empty=bool(meta[3]) if meta.size > 3 else False,
+        dense=z[f"{prefix}_dense"] if f"{prefix}_dense" in z else None,
     )
 
 

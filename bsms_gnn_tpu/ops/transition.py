@@ -31,6 +31,17 @@ def _apply(op: TransOp, x, method: str):
     On windowed layouts the selection runs in-kernel (no row gather —
     issue-rate-bound at 1M scale); out-of-window entries accumulate via
     the skip-empty residual sub-op."""
+    if method in ("pallas", "fused") and op.dense is not None:
+        # Tiny deep-level operator: one MXU matmul (~15 µs) replaces the
+        # gather + segment-sum pair (~60-100 µs fixed each) — the headline
+        # meshes are dispatch-bound (PARITY.md roofline §1). f32 inputs use
+        # HIGHEST (true f32, the repo-wide convention); bf16 accumulates f32.
+        d = op.dense.astype(x.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if x.dtype == jnp.float32 else None)
+        out = jnp.matmul(d, x, precision=prec,
+                         preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
     if method in ("pallas", "fused") and op.window > 0:
         from bsms_gnn_tpu.ops.pallas.windowed import windowed_rect_conv_raw
 

@@ -59,6 +59,7 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             send_win=None if op.send_win is None else edge,
             win_base=None if op.win_base is None else repl,
             resid=trans_op_spec(op.resid),
+            dense=None if op.dense is None else repl,
         )
 
     levels = tuple(level_spec(l) for l in h.levels)

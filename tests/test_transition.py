@@ -84,6 +84,34 @@ def test_fused_batched(hier, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
+def test_sparse_op_matches_dense_op(hier, rng):
+    """Small graphs take the dense-matmul branch by default; the sparse
+    gather+segment-sum operator path (what large meshes run) must agree
+    with it, fwd and grad — strip `dense` to force the sparse branch."""
+    level, t = hier.levels[0], hier.transitions[0]
+    assert t.down_op.dense is not None, "tiny op should carry a dense form"
+    t_sparse = t.replace(
+        down_op=t.down_op.replace(dense=None),
+        up_op=t.up_op.replace(dense=None),
+    )
+    x = _rand_nodes(rng, level, 128)
+    np.testing.assert_allclose(
+        np.asarray(trans_down(t, x, "pallas")),
+        np.asarray(trans_down(t_sparse, x, "pallas")),
+        rtol=1e-5, atol=1e-5,
+    )
+    y = _rand_nodes(rng, hier.levels[1], 128)
+    np.testing.assert_allclose(
+        np.asarray(trans_up(t, y, "pallas")),
+        np.asarray(trans_up(t_sparse, y, "pallas")),
+        rtol=1e-5, atol=1e-5,
+    )
+    g_d = jax.grad(lambda v: jnp.sum(trans_down(t, v, "pallas") ** 2))(x)
+    g_s = jax.grad(lambda v: jnp.sum(trans_down(t_sparse, v, "pallas") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_s),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_trans_ops_survive_cache_roundtrip(hier, tmp_path):
     path = str(tmp_path / "h.npz")
     save_hierarchy(path, hier)
@@ -94,6 +122,8 @@ def test_trans_ops_survive_cache_roundtrip(hier, tmp_path):
         np.testing.assert_array_equal(t1.up_op.receivers, t2.up_op.receivers)
         np.testing.assert_allclose(t1.down_op.ew, t2.down_op.ew)
         assert t2.down_op.n_in_pad == t1.down_op.n_in_pad
+        if t1.down_op.dense is not None:
+            np.testing.assert_allclose(t1.down_op.dense, t2.down_op.dense)
 
 
 def test_full_forward_pallas_matches_ell(hier, rng):
