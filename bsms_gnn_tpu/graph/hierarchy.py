@@ -794,8 +794,9 @@ def pad_levels(
         e_pads.append(e_pad)
 
     ecs = transition_edge_weights(levels)
-    lvl_graphs = tuple(
-        _pad_level(
+
+    def build_level(l, g):
+        return _pad_level(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
             edge_block=edge_block, window=windows[l],
@@ -806,8 +807,15 @@ def pad_levels(
             ),
             resid_ell_k_min=0 if resid_buckets is None else resid_buckets[l][1],
         )
-        for l, g in enumerate(graphs)
-    )
+
+    # Levels build independently, and the hot numpy kernels (lexsort,
+    # bincount, unique) release the GIL — thread the per-level builds.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(graphs), os.cpu_count() or 1)) as ex:
+        lvl_graphs = tuple(
+            ex.map(lambda lg: build_level(*lg), enumerate(graphs))
+        )
     if resid_buckets is not None:
         eb_r = min(edge_block, EDGE_BLOCK)
         for l, g in enumerate(lvl_graphs):
@@ -831,8 +839,7 @@ def pad_levels(
                 f"{edge_buckets[l]}"
             )
 
-    transitions = []
-    for l, kept in enumerate(ids):
+    def build_transition(l, kept):
         parent_pad, child_pad = n_pads[l], n_pads[l + 1]
         m = len(kept)
         pool_ids = np.full(child_pad, parent_pad - 1, dtype=np.int32)
@@ -848,12 +855,17 @@ def pad_levels(
                 graphs[l].flat_edges, ecs[l], kept, parent_pad, child_pad,
                 edge_block, window=windows[l],
             )
-        transitions.append(Transition(
+        return Transition(
             pool_ids=pool_ids, unpool_inv=unpool_inv,
             down_op=down_op, up_op=up_op,
-        ))
+        )
 
-    return Hierarchy(levels=lvl_graphs, transitions=tuple(transitions))
+    with ThreadPoolExecutor(max_workers=min(max(len(ids), 1), os.cpu_count() or 1)) as ex:
+        transitions = tuple(
+            ex.map(lambda lk: build_transition(*lk), enumerate(ids))
+        )
+
+    return Hierarchy(levels=lvl_graphs, transitions=transitions)
 
 
 # ---------------------------------------------------------------------------
