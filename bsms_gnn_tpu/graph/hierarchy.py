@@ -219,6 +219,13 @@ class Transition:
     unpool_inv: np.ndarray  # [N_pad_parent] child slot or M_pad (zero slot)
     down_op: Optional[TransOp] = None
     up_op: Optional[TransOp] = None
+    # Dense [child_pad, parent_pad] / [parent_pad, child_pad] operator
+    # matrices for BUCKETED variable-mesh groups: sparse op layouts can't
+    # stack across meshes (per-mesh E_pad), but dense matrices at bucket
+    # shapes stack leaf-wise, giving those datasets the fused-transition
+    # dispatch saving whenever both pads fit DENSE_TRANS_MAX.
+    down_dense: Optional[np.ndarray] = None
+    up_dense: Optional[np.ndarray] = None
 
 
 @struct.dataclass
@@ -506,6 +513,27 @@ def _pad_trans_layout(
         skip_empty=not min_chunks,
         dense=dense,
     )
+
+
+def _build_dense_trans(
+    flat_edges: np.ndarray, ec: np.ndarray, kept: np.ndarray,
+    parent_pad: int, child_pad: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense forms of the fused conv→pool / unpool→conv operators (same
+    edge selection as _build_trans_ops: only edges with a kept receiver
+    contribute — ref `BSMS.py:79-89`). up = downᵀ (the operators are each
+    other's adjoints)."""
+    snd = flat_edges[0].astype(np.int64)
+    rcv = flat_edges[1].astype(np.int64)
+    local_of = np.full(parent_pad, -1, np.int64)
+    local_of[kept.astype(np.int64)] = np.arange(len(kept))
+    sel = local_of[rcv] >= 0
+    down = np.zeros((child_pad, parent_pad), np.float32)
+    np.add.at(
+        down, (local_of[rcv[sel]], snd[sel]),
+        np.asarray(ec, np.float64)[sel].astype(np.float32),
+    )
+    return down, np.ascontiguousarray(down.T)
 
 
 def _build_trans_ops(
@@ -848,16 +876,22 @@ def pad_levels(
         unpool_inv[kept] = np.arange(m, dtype=np.int32)
         # Fused transition operators — skipped for bucketed variable-mesh
         # groups (stacking would need the op layouts' E_pad pinned across a
-        # group; those datasets keep the conv+pool path).
-        down_op = up_op = None
+        # group); bucketed groups instead get dense operator matrices at
+        # bucket shapes when they fit (stackable leaf-wise).
+        down_op = up_op = down_dense = up_dense = None
         if node_buckets is None and edge_buckets is None:
             down_op, up_op = _build_trans_ops(
                 graphs[l].flat_edges, ecs[l], kept, parent_pad, child_pad,
                 edge_block, window=windows[l],
             )
+        elif parent_pad <= DENSE_TRANS_MAX and child_pad <= DENSE_TRANS_MAX:
+            down_dense, up_dense = _build_dense_trans(
+                graphs[l].flat_edges, ecs[l], kept, parent_pad, child_pad
+            )
         return Transition(
             pool_ids=pool_ids, unpool_inv=unpool_inv,
             down_op=down_op, up_op=up_op,
+            down_dense=down_dense, up_dense=up_dense,
         )
 
     with ThreadPoolExecutor(max_workers=min(max(len(ids), 1), os.cpu_count() or 1)) as ex:
@@ -1022,6 +1056,9 @@ def save_hierarchy(path: str, h: Hierarchy) -> None:
         if t.down_op is not None:
             _trans_op_arrays(f"t{l}d", t.down_op, arrays)
             _trans_op_arrays(f"t{l}u", t.up_op, arrays)
+        if t.down_dense is not None:
+            arrays[f"t{l}_down_dense"] = t.down_dense
+            arrays[f"t{l}_up_dense"] = t.up_dense
     _atomic_savez(path, arrays)
 
 
@@ -1035,6 +1072,10 @@ def load_hierarchy(path: str) -> Hierarchy:
                 unpool_inv=z[f"t{l}_unpool_inv"],
                 down_op=_trans_op_from_arrays(f"t{l}d", z),
                 up_op=_trans_op_from_arrays(f"t{l}u", z),
+                down_dense=(z[f"t{l}_down_dense"]
+                            if f"t{l}_down_dense" in z else None),
+                up_dense=(z[f"t{l}_up_dense"]
+                          if f"t{l}_up_dense" in z else None),
             )
             for l in range(depth)
         ]

@@ -24,6 +24,19 @@ from bsms_gnn_tpu.graph.hierarchy import Transition, TransOp
 from bsms_gnn_tpu.ops.scatter import _seg_sum
 
 
+def dense_apply(d, x):
+    """Tiny-level operator as one MXU matmul (~15 µs) instead of the
+    gather + segment-sum pair (~60-100 µs fixed each) — the headline meshes
+    are dispatch-bound (PARITY.md roofline §1). d: [O, I] (shared mesh) or
+    [..., O, I] (bucketed per-sample stack); x: [..., I, C]. f32 inputs use
+    HIGHEST (true f32, the repo-wide convention); bf16 accumulates f32."""
+    d = jnp.asarray(d).astype(x.dtype)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.einsum("...oi,...ic->...oc", d, x, precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def _apply(op: TransOp, x, method: str):
     """out[..., k, :] = Σ_e ew[e] · x[..., senders[e], :] summed at
     receivers[e]. x: [..., N_in_pad, C] → [..., N_out_pad, C].
@@ -32,16 +45,7 @@ def _apply(op: TransOp, x, method: str):
     issue-rate-bound at 1M scale); out-of-window entries accumulate via
     the skip-empty residual sub-op."""
     if method in ("pallas", "fused") and op.dense is not None:
-        # Tiny deep-level operator: one MXU matmul (~15 µs) replaces the
-        # gather + segment-sum pair (~60-100 µs fixed each) — the headline
-        # meshes are dispatch-bound (PARITY.md roofline §1). f32 inputs use
-        # HIGHEST (true f32, the repo-wide convention); bf16 accumulates f32.
-        d = op.dense.astype(x.dtype)
-        prec = (jax.lax.Precision.HIGHEST
-                if x.dtype == jnp.float32 else None)
-        out = jnp.matmul(d, x, precision=prec,
-                         preferred_element_type=jnp.float32)
-        return out.astype(x.dtype)
+        return dense_apply(op.dense, x)
     if method in ("pallas", "fused") and op.window > 0:
         from bsms_gnn_tpu.ops.pallas.windowed import windowed_rect_conv_raw
 
