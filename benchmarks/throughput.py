@@ -1,0 +1,102 @@
+"""Batched-inference throughput at the 5k headline point.
+
+The headline bench (bench.py) measures single-mesh latency, which below
+~20k nodes is op-chain bound (~13 µs per dependent op on this chip —
+PARITY.md "Windowed-kernel roofline"), so its MFU says nothing about the
+design's ceiling. Production serving and training batch many meshes per
+step ([B, N_pad, C] over a shared hierarchy — the reference's
+consistent-mesh mode, `/root/reference/src/models/model.py:190-192`);
+batching multiplies every matmul's rows by B without lengthening the
+dependent chain, so MXU occupancy — not dispatch — governs.
+
+Usage:  python benchmarks/throughput.py [--batches 1,4,16,32]
+
+Writes benchmarks/out/throughput.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import PEAK_TFLOPS, _build, _dense_flops  # noqa: E402
+
+
+def measure(batches, n_nodes=5233, depth=7):
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+    from bsms_gnn_tpu.utils.timing import pipelined_timeit
+
+    cfg, h, node_in, mask, n_real, stats = _build("airfoil", n_nodes, depth)
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+    flops1 = _dense_flops(cfg.model, h)  # per mesh
+
+    rows = []
+    for B in batches:
+        ni = jnp.broadcast_to(node_in, (B, *node_in.shape))
+        m = jnp.broadcast_to(mask, (B, *mask.shape))
+        for dtype, label in ((None, "f32"), (jnp.bfloat16, "bf16")):
+            fwd = jax.jit(
+                lambda a, b, dt=dtype: simulator_forward(
+                    state.params, state.norm_in, state.norm_out, h, a, b,
+                    cfg.model, dt,
+                )
+            )
+            out = fwd(ni, m)
+            assert np.all(np.isfinite(np.asarray(out[:, :n_real])))
+            t = min(
+                pipelined_timeit(lambda: fwd(ni, m), steps=30, warmup=3)
+                for _ in range(3)
+            )
+            tflops = B * flops1 / t / 1e12
+            rows.append({
+                "batch": B,
+                "dtype": label,
+                "ms_per_step": round(1e3 * t, 3),
+                "meshes_per_s": round(B / t, 1),
+                "ms_per_mesh": round(1e3 * t / B, 4),
+                "dense_tflops": round(tflops, 2),
+                "mfu_vs_bf16_peak": round(tflops / PEAK_TFLOPS, 4),
+            })
+            print(
+                f"B={B:3d} {label:4s}  {rows[-1]['ms_per_step']:8.3f} ms/step"
+                f"  {rows[-1]['meshes_per_s']:8.1f} meshes/s"
+                f"  {rows[-1]['ms_per_mesh']:7.3f} ms/mesh"
+                f"  {rows[-1]['dense_tflops']:6.2f} TFLOP/s"
+                f"  MFU {rows[-1]['mfu_vs_bf16_peak']:.1%}",
+                flush=True,
+            )
+    return {"n_nodes": n_nodes, "depth": depth, "mesh_stats": stats,
+            "rows": rows}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,16,32")
+    ap.add_argument("--n-nodes", type=int, default=5233)
+    ap.add_argument("--depth", type=int, default=7)
+    args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
+
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    out = measure(batches, args.n_nodes, args.depth)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out",
+                        "throughput.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
