@@ -14,6 +14,7 @@ Usage: python benchmarks/memory_footprint.py [n_nodes] [batches...]
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -25,6 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _peak_bytes(device) -> int:
     stats = device.memory_stats() or {}
     return int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+
+
+def _compiled_peak_bytes(trainer, h, node_in, node_tar, mask, key) -> int:
+    """Static peak-HBM accounting from XLA's own memory analysis of the
+    compiled train step (arguments + outputs + temporaries - aliased
+    donations). Used when the runtime exposes no memory_stats() — e.g. the
+    tunneled axon backend — and as the apples-to-apples number anyway:
+    it is exactly what the compiler reserves for one step."""
+    import jax.numpy as jnp
+
+    lowered = trainer._train_step.lower(
+        trainer.state, h, jnp.asarray(node_in), jnp.asarray(node_tar),
+        jnp.asarray(mask), key,
+    )
+    ma = lowered.compile().memory_analysis()
+    if ma is None:
+        return 0
+    return int(
+        ma.argument_size_in_bytes + ma.output_size_in_bytes
+        + ma.temp_size_in_bytes - ma.alias_size_in_bytes
+    )
 
 
 def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
@@ -77,10 +99,17 @@ def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
             )
             loss.block_until_ready()
         peak = _peak_bytes(dev)
+        src = "runtime"
+        if peak == 0:
+            peak = _compiled_peak_bytes(
+                trainer, h, node_in, node_tar, mask,
+                jax.random.fold_in(key, 2),
+            )
+            src = "compiled"
         gb = peak / 2**30
         results.append((b, gb))
-        print(f"batch {b:3d}: peak {gb:.2f} GiB (loss {float(loss):.4f})",
-              flush=True)
+        print(f"batch {b:3d}: peak {gb:.2f} GiB [{src}] "
+              f"(loss {float(loss):.4f})", flush=True)
         del trainer
 
     if len(results) >= 2:
@@ -91,11 +120,26 @@ def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
             f"slope {slope * 1024:.1f} MiB/sample, intercept {intercept:.2f} GiB"
         )
         bmax, gmax = results[-1]
-        print(
-            f"REFERENCE COMPARISON: BSMS-GNN(torch) ~17 GB @ batch 64 "
-            f"(figs/perform.png(c)); this framework {gmax:.2f} GiB @ batch "
-            f"{bmax} ({'%.1fx' % (17.0 / gmax * bmax / 64)} samples/GB ratio)"
-        )
+        if gmax > 0:
+            print(
+                f"REFERENCE COMPARISON: BSMS-GNN(torch) ~17 GB @ batch 64 "
+                f"(figs/perform.png(c)); this framework {gmax:.2f} GiB @ batch "
+                f"{bmax} ({'%.1fx' % (17.0 / gmax * bmax / 64)} samples/GB ratio)"
+            )
+        else:
+            print("no memory accounting available on this backend")
+        out = {
+            "n_nodes": n_nodes, "compute_dtype": compute_dtype,
+            "points": [{"batch": b, "gib": round(g, 3)} for b, g in results],
+            "mib_per_sample": round(slope * 1024, 2),
+            "intercept_gib": round(intercept, 3),
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "out", "memory_footprint.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote", path)
 
 
 if __name__ == "__main__":
