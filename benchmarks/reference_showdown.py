@@ -59,13 +59,24 @@ def _install_ref_stubs():
         sys.modules["sparse_dot_mkl"] = m
 
 
-def build_data(n_nodes: int, n_train: int, n_test: int, n_frames: int, seed: int):
+def build_data(n_nodes: int, n_train: int, n_test: int, n_frames: int,
+               seed: int, aspect: float = 1.0):
     """Shared-mesh synthetic airfoil trajectories (traveling vortex +
-    advected density): fields [T, N, 3], one mesh for all."""
+    advected density): fields [T, N, 3], one mesh for all. `aspect` > 1
+    stretches the domain (graph diameter ~sqrt(N*aspect)) — required for
+    depth-7 hierarchies at the reference's real airfoil shape, where a
+    unit-square mesh collapses to an empty level (see
+    data/synthetic.py::make_delaunay_mesh)."""
     from bsms_gnn_tpu.data.synthetic import generate_trajectory, make_delaunay_mesh
 
     rng = np.random.default_rng(seed)
-    mesh = make_delaunay_mesh(n_nodes, rng)
+    if aspect < 0:
+        # Regular strip mesh (bi-stride-safe to depth 7+; see synthetic.py).
+        from bsms_gnn_tpu.data.synthetic import make_grid_strip_mesh
+
+        mesh = make_grid_strip_mesh(n_nodes, ny=int(-aspect))
+    else:
+        mesh = make_delaunay_mesh(n_nodes, rng, aspect=aspect)
     pos, cells, node_type = mesh
 
     def traj():
@@ -351,6 +362,7 @@ def main():
     ap.add_argument("--lr-warmup", type=int, default=200)
     ap.add_argument("--peak-lr", type=float, default=5e-4)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--aspect", type=float, default=1.0)
     ap.add_argument("--mirror", action="store_true", help=(
         "copy the torch init into our model and share the exact noise "
         "draws — training curves must then track step-by-step (isolates "
@@ -363,7 +375,8 @@ def main():
     results = {"config": vars(args), "seeds": []}
     for seed in range(args.seeds):
         pos, cells, node_type, mask, train, test = build_data(
-            args.nodes, args.n_train, args.n_test, args.frames, seed
+            args.nodes, args.n_train, args.n_test, args.frames, seed,
+            aspect=args.aspect,
         )
         stream = make_stream(args.n_train, args.frames, args.batch, args.steps, seed)
 

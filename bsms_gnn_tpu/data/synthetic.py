@@ -28,9 +28,19 @@ from bsms_gnn_tpu.data.datasets import (
 )
 
 
-def make_delaunay_mesh(n_nodes: int, rng: np.random.Generator):
-    """Irregular triangulated mesh on the unit square; returns (pos [N,2],
-    cells [M,3], node_type [N,1])."""
+def make_delaunay_mesh(n_nodes: int, rng: np.random.Generator,
+                       aspect: float = 1.0):
+    """Irregular triangulated mesh on [0, aspect] x [0, 1]; returns
+    (pos [N,2], cells [M,3], node_type [N,1]).
+
+    `aspect` > 1 stretches the domain into a strip, raising the graph
+    diameter to ~sqrt(N*aspect) hops. Deep bi-stride hierarchies need this:
+    adjacency squaring halves the diameter per level, and a unit-square mesh
+    of ~5k nodes (diameter ~70) collapses to one node by level 5-6 — the
+    reference builder then crashes on an empty level
+    (`/root/reference/src/utils/basic.py:305` on a 0-edge graph). The real
+    airfoil mesh survives depth 7 because of its graded annular geometry;
+    a strip is the simplest synthetic stand-in with comparable diameter."""
     n_side = max(4, int(np.sqrt(n_nodes) // 4))
     # Boundary ring keeps the hull well-shaped.
     t = np.linspace(0, 1, n_side, endpoint=False)
@@ -45,16 +55,61 @@ def make_delaunay_mesh(n_nodes: int, rng: np.random.Generator):
     n_interior = max(n_nodes - boundary.shape[0], 8)
     interior = rng.uniform(0.02, 0.98, size=(n_interior, 2))
     pos = np.concatenate([boundary, interior])
+    if aspect != 1.0:
+        # Stretch BEFORE triangulating so the edge graph is strip-like.
+        pos = pos * np.array([aspect, 1.0])
     tri = Delaunay(pos)
     cells = tri.simplices.astype(np.int64)
 
     node_type = np.full((pos.shape[0], 1), NT_NORMAL, np.int32)
     nb = boundary.shape[0]
     # Left edge = inflow, right edge = outflow, top/bottom = wall.
+    x_hi = float(aspect)
     node_type[:nb][np.isclose(pos[:nb, 0], 0.0)] = NT_INFLOW
-    node_type[:nb][np.isclose(pos[:nb, 0], 1.0)] = NT_OUTFLOW
+    node_type[:nb][np.isclose(pos[:nb, 0], x_hi)] = NT_OUTFLOW
     on_wall = np.isclose(pos[:nb, 1], 0.0) | np.isclose(pos[:nb, 1], 1.0)
-    node_type[:nb][on_wall & ~np.isclose(pos[:nb, 0], 0.0) & ~np.isclose(pos[:nb, 0], 1.0)] = NT_WALL
+    node_type[:nb][on_wall & ~np.isclose(pos[:nb, 0], 0.0) & ~np.isclose(pos[:nb, 0], x_hi)] = NT_WALL
+    return pos.astype(np.float32), cells, node_type
+
+
+def make_grid_strip_mesh(n_nodes: int, ny: int = 8):
+    """Regular triangulated strip of ~n_nodes (nx = n_nodes // ny columns,
+    jittered interior positions): (pos [N,2], cells [M,3], node_type [N,1]).
+
+    Deep-depth-safe companion to `make_delaunay_mesh`: bi-stride ring-parity
+    selection (`/root/reference/src/graph_wrappers/bsms_graph_wrapper.py:84-93`)
+    stays clean on regular strips (alternating columns, bounded degree) all
+    the way to depth 7+, while irregular stretched meshes degenerate (ring
+    bands become cliques under adjacency squaring)."""
+    nx = max(n_nodes // ny, 4)
+    xs, ys = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    pos = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float64)
+    # Jitter interior nodes so edge fibers are non-degenerate.
+    rng = np.random.default_rng(12345)
+    interior = (
+        (pos[:, 0] > 0) & (pos[:, 0] < nx - 1)
+        & (pos[:, 1] > 0) & (pos[:, 1] < ny - 1)
+    )
+    pos[interior] += rng.uniform(-0.25, 0.25, size=(int(interior.sum()), 2))
+    pos = pos / ny  # unit-height strip, aspect nx/ny
+    cells = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a = i * ny + j
+            b = (i + 1) * ny + j
+            c = (i + 1) * ny + j + 1
+            d = i * ny + j + 1
+            cells.append([a, b, c])
+            cells.append([a, c, d])
+    cells = np.asarray(cells, dtype=np.int64)
+    node_type = np.full((pos.shape[0], 1), NT_NORMAL, np.int32)
+    x = pos[:, 0] * ny
+    node_type[np.isclose(x, 0.0)] = NT_INFLOW
+    node_type[np.isclose(x, nx - 1)] = NT_OUTFLOW
+    y = pos[:, 1] * ny
+    wall = (np.isclose(y, 0.0) | np.isclose(y, ny - 1)) & ~np.isclose(
+        x, 0.0) & ~np.isclose(x, nx - 1)
+    node_type[wall] = NT_WALL
     return pos.astype(np.float32), cells, node_type
 
 

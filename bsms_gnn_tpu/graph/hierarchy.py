@@ -42,7 +42,7 @@ from bsms_gnn_tpu.graph.bistride import (
 )
 from bsms_gnn_tpu.graph.csr import CsrGraph
 
-CACHE_VERSION = 16  # 16: dense tiny-transition operators
+CACHE_VERSION = 17  # 17: compact residual tables (CompactResid)
 # Raw (unpadded) bi-stride levels are independent of the padding/layout
 # parameters; their cache format last changed at v8.
 LEVELS_CACHE_VERSION = 8
@@ -124,6 +124,12 @@ class LevelGraph:
     # node space/padding: windowed ops add its contribution via the
     # standard gather + segment-sum paths.
     resid: Optional["LevelGraph"] = None
+    # Compact residual tables (ops/pallas/compact_resid.py) — the fast path
+    # for the same out-of-window edges: gathers/MLP on ~R real rows instead
+    # of the mini layout's 3-4x padded slots. None on shape-pinned builds
+    # (bucketed datasets / per-shard halo stacking), where consumers fall
+    # back to `resid`.
+    cresid: Optional["CompactResid"] = None
     # Source-window row count (0 = windowed layout not built).
     window: int = struct.field(pytree_node=False, default=0)
     # True when the layout drops the one-chunk-per-block minimum: node
@@ -147,6 +153,119 @@ class LevelGraph:
     @property
     def n_pad_edges(self) -> int:
         return self.senders.shape[-1]
+
+
+@struct.dataclass
+class CompactResid:
+    """Dense (per-real-edge) residual tables for the block-visit accumulate
+    kernel (ops/pallas/compact_resid.py).
+
+    The mini block-aligned residual LevelGraph pads its slot space ~3-4x
+    (every 128-node block with stragglers rounds up to a whole edge chunk),
+    and every residual gather/MLP runs over those mostly-pad slots — at 1M
+    nodes that was ~74 ns per real residual edge, ~25% of the whole forward
+    (benchmarks/kernel_breakdown.py, round 4). Here rows are receiver-sorted
+    real edges padded only to the next 128; the aggregate runs one VISIT per
+    (128-row input block × output node-block) incidence."""
+
+    senders: np.ndarray  # [Rp] int32 absolute (pad → n_pad-1)
+    receivers: np.ndarray  # [Rp] int32 absolute, non-decreasing (pad → n_pad-1)
+    ew: np.ndarray  # [Rp] f64 (pad 0)
+    ew_rev: np.ndarray  # [Rp] f64 twin's weight (levels; == ew for TransOps)
+    fiber: np.ndarray  # [Rp, pd1] f64 (zeros when no positions)
+    twin: np.ndarray  # [Rp] int32 compact row of the reverse edge (or identity)
+    visit_block: np.ndarray  # [V] int32 output node-block (non-decreasing)
+    visit_cblk: np.ndarray  # [V] int32 input 128-row block of compact rows
+    visit_recv: np.ndarray  # [ceil(V/8)*8, 128] int32 LOCAL recv row (-1 = masked)
+    n_real: int = struct.field(pytree_node=False, default=0)
+    n_pad_nodes: int = struct.field(pytree_node=False, default=0)
+    # True when the edge set is symmetric (level residuals): sender-sums may
+    # ride the twin permutation through the receiver-visit kernel.
+    symmetric: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_rows(self) -> int:
+        return self.senders.shape[-1]
+
+
+def _compact_resid(
+    s: np.ndarray, r: np.ndarray, ew: np.ndarray, ew_rev: np.ndarray,
+    n_pad: int, lvl_pos: Optional[np.ndarray], symmetric: bool,
+    n_in_pad: Optional[int] = None,
+) -> CompactResid:
+    """Build CompactResid from raw (unsorted) residual edges. `n_in_pad`
+    (rectangular operators) sets the sender pad row; receivers live in the
+    `n_pad` output space."""
+    s = np.asarray(s, np.int64)
+    r = np.asarray(r, np.int64)
+    order = np.lexsort((s, r))
+    s, r = s[order], r[order]
+    ew = np.asarray(ew, np.float64)[order]
+    ew_rev = np.asarray(ew_rev, np.float64)[order]
+    n = s.shape[0]
+    rp = max(-(-n // 128) * 128, 128)
+
+    senders = np.full(rp, (n_in_pad or n_pad) - 1, np.int32)
+    receivers = np.full(rp, n_pad - 1, np.int32)
+    senders[:n] = s
+    receivers[:n] = r
+    ew_p = np.zeros(rp, np.float64)
+    ew_p[:n] = ew
+    ewr_p = np.zeros(rp, np.float64)
+    ewr_p[:n] = ew_rev
+
+    pd1 = 1 if lvl_pos is None else lvl_pos.shape[1] + 1
+    fiber = np.zeros((rp, pd1), np.float64)
+    if lvl_pos is not None and n:
+        p = np.asarray(lvl_pos, np.float64)
+        d = p[s] - p[r]
+        fiber[:n] = np.concatenate(
+            [d, np.linalg.norm(d, axis=-1, keepdims=True)], axis=-1
+        )
+
+    twin = np.arange(rp, dtype=np.int32)
+    if symmetric and n:
+        key = s * n_pad + r
+        key_rev = r * n_pad + s
+        ko = np.argsort(key)
+        pos = np.searchsorted(key[ko], key_rev)
+        assert np.array_equal(key[ko][pos], key_rev), (
+            "residual edge set is not symmetric"
+        )
+        twin[:n] = ko[pos].astype(np.int32)
+
+    # Visits: one per (compact 128-row block, output node-block) incidence.
+    vb, vc, vr = [], [], []
+    rblk = np.where(np.arange(rp) < n, receivers // NODE_BLOCK, -1)
+    for cb in range(rp // 128):
+        seg = rblk[cb * 128:(cb + 1) * 128]
+        for ob in np.unique(seg[seg >= 0]):
+            vb.append(ob)
+            vc.append(cb)
+            loc = np.where(seg == ob,
+                           receivers[cb * 128:(cb + 1) * 128]
+                           - ob * NODE_BLOCK, -1)
+            vr.append(loc.astype(np.int32))
+    if not vb:  # empty residual: one no-op visit keeps the kernel valid
+        vb, vc, vr = [0], [0], [np.full(128, -1, np.int32)]
+    v = len(vb)
+    v8 = -(-v // 8) * 8
+    visit_recv = np.full((v8, 128), -1, np.int32)
+    visit_recv[:v] = np.stack(vr)
+    return CompactResid(
+        senders=senders,
+        receivers=receivers,
+        ew=ew_p,
+        ew_rev=ewr_p,
+        fiber=fiber,
+        twin=twin,
+        visit_block=np.asarray(vb, np.int32),
+        visit_cblk=np.asarray(vc, np.int32),
+        visit_recv=visit_recv,
+        n_real=int(n),
+        n_pad_nodes=int(n_pad),
+        symmetric=bool(symmetric),
+    )
 
 
 @struct.dataclass
@@ -189,6 +308,9 @@ class TransOp:
     send_win: Optional[np.ndarray] = None  # [E_pad] rel. window idx
     win_base: Optional[np.ndarray] = None  # [E_pad // edge_block] int32
     resid: Optional["TransOp"] = None
+    # Compact residual (receivers in OUTPUT space, senders in INPUT space,
+    # symmetric=False): see LevelGraph.cresid.
+    cresid: Optional["CompactResid"] = None
     window: int = struct.field(pytree_node=False, default=0)
     skip_empty: bool = struct.field(pytree_node=False, default=False)
     # Dense [N_out_pad, N_in_pad] form of the operator, built offline when
@@ -376,14 +498,14 @@ def _pad_level(
     ew_rev = ew[reverse_perm]
     fiber_t = _fiber_t(fiber)
 
-    send_win = win_base = resid_level = None
+    send_win = win_base = resid_level = cresid = None
     if window:
         # Tiny levels: a window wider than the node set would index
         # half-window blocks out of range — shrink to the node count
         # (base 0 then covers every sender; no residual).
         window = min(window, n_pad)
         assert n_pad % (window // 2) == 0
-        send_win, win_base, resid_level = _window_tables(
+        send_win, win_base, resid_level, cresid = _window_tables(
             senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
             edge_block, n, lvl_pos, resid_e_pad_min, force_resid,
             resid_ell_k_min,
@@ -407,6 +529,7 @@ def _pad_level(
         send_win=send_win,
         win_base=win_base,
         resid=resid_level,
+        cresid=cresid,
         window=window,
         skip_empty=not min_chunks,
         fiber_t=fiber_t,
@@ -469,7 +592,7 @@ def _pad_trans_layout(
     # ([N_out, K] ELL tables cost >1 GB device memory at 1M scale for a
     # path only the <8-channel dyn streams and parity oracles take).
 
-    send_win = win_base = resid = None
+    send_win = win_base = resid = cresid = None
     if window:
         # Per-chunk window vote over the INPUT space; identity reverse_perm
         # disables the symmetrization step (see _window_vote).
@@ -492,6 +615,12 @@ def _pad_trans_layout(
                 min(edge_block, EDGE_BLOCK), window=0, min_chunks=False,
             )
             resid = resid.replace(skip_empty=True)
+            cresid = _compact_resid(
+                senders[uncov].astype(np.int64),
+                receivers[uncov].astype(np.int64),
+                ew[uncov], ew[uncov], n_out_pad, None, symmetric=False,
+                n_in_pad=n_in_pad,
+            )
 
     dense = None
     if (window == 0 and min_chunks
@@ -509,6 +638,7 @@ def _pad_trans_layout(
         send_win=send_win,
         win_base=win_base,
         resid=resid,
+        cresid=cresid,
         window=window,
         skip_empty=not min_chunks,
         dense=dense,
@@ -719,6 +849,7 @@ def _window_tables(
     win_base = base.astype(np.int32)
 
     resid_level = None
+    cresid = None
     m = real & ~covered
     if m.any() or force_resid:
         # force_resid builds a (possibly empty) residual even when every
@@ -732,7 +863,14 @@ def _window_tables(
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
             min_chunks=False, ell_k_min=resid_ell_k_min,
         )
-    return send_win, win_base, resid_level
+        if not force_resid and resid_e_pad_min == 0 and resid_ell_k_min == 0:
+            # Compact fast path — skipped on shape-pinned builds (bucketed
+            # datasets / per-shard stacking), which need fixed table shapes.
+            cresid = _compact_resid(
+                s64[m], receivers.astype(np.int64)[m], ew[m],
+                ew[reverse_perm][m], n_pad, lvl_pos, symmetric=True,
+            )
+    return send_win, win_base, resid_level, cresid
 
 
 def build_hierarchy(
@@ -823,8 +961,12 @@ def pad_levels(
 
     ecs = transition_edge_weights(levels)
 
+    # Bucketed groups stack hierarchies leaf-wise across meshes, so the
+    # variable-shape compact residual tables must not be built there.
+    bucketed = node_buckets is not None or resid_buckets is not None
+
     def build_level(l, g):
-        return _pad_level(
+        lvl = _pad_level(
             g, n_pads[l], e_pads[l], ecs[l],
             None if lvl_pos is None else lvl_pos[l],
             edge_block=edge_block, window=windows[l],
@@ -835,6 +977,7 @@ def pad_levels(
             ),
             resid_ell_k_min=0 if resid_buckets is None else resid_buckets[l][1],
         )
+        return lvl.replace(cresid=None) if bucketed else lvl
 
     # Levels build independently, and the hot numpy kernels (lexsort,
     # bincount, unique) release the GIL — thread the per-level builds.
@@ -972,6 +1115,43 @@ def _level_arrays(prefix: str, g: LevelGraph, arrays: dict) -> None:
         arrays[f"{prefix}_win_base"] = g.win_base
     if g.resid is not None:
         _level_arrays(f"{prefix}r", g.resid, arrays)
+    if g.cresid is not None:
+        _cresid_arrays(f"{prefix}c", g.cresid, arrays)
+
+
+def _cresid_arrays(prefix: str, cr: "CompactResid", arrays: dict) -> None:
+    arrays[f"{prefix}_senders"] = cr.senders
+    arrays[f"{prefix}_receivers"] = cr.receivers
+    arrays[f"{prefix}_ew"] = cr.ew
+    arrays[f"{prefix}_ew_rev"] = cr.ew_rev
+    arrays[f"{prefix}_fiber"] = cr.fiber
+    arrays[f"{prefix}_twin"] = cr.twin
+    arrays[f"{prefix}_visit_block"] = cr.visit_block
+    arrays[f"{prefix}_visit_cblk"] = cr.visit_cblk
+    arrays[f"{prefix}_visit_recv"] = cr.visit_recv
+    arrays[f"{prefix}_cmeta"] = np.array(
+        [cr.n_real, cr.n_pad_nodes, int(cr.symmetric)], np.int64
+    )
+
+
+def _cresid_from_arrays(prefix: str, z) -> Optional["CompactResid"]:
+    if f"{prefix}_cmeta" not in z:
+        return None
+    meta = z[f"{prefix}_cmeta"]
+    return CompactResid(
+        senders=z[f"{prefix}_senders"],
+        receivers=z[f"{prefix}_receivers"],
+        ew=z[f"{prefix}_ew"],
+        ew_rev=z[f"{prefix}_ew_rev"],
+        fiber=z[f"{prefix}_fiber"],
+        twin=z[f"{prefix}_twin"],
+        visit_block=z[f"{prefix}_visit_block"],
+        visit_cblk=z[f"{prefix}_visit_cblk"],
+        visit_recv=z[f"{prefix}_visit_recv"],
+        n_real=int(meta[0]),
+        n_pad_nodes=int(meta[1]),
+        symmetric=bool(meta[2]),
+    )
 
 
 def _level_from_arrays(prefix: str, z) -> LevelGraph:
@@ -1002,6 +1182,7 @@ def _level_from_arrays(prefix: str, z) -> LevelGraph:
             if f"{prefix}r_meta" in z
             else None
         ),
+        cresid=_cresid_from_arrays(f"{prefix}c", z),
         window=int(meta[3]) if meta.size > 3 else 0,
         skip_empty=bool(meta[4]) if meta.size > 4 else False,
         fiber_t=_fiber_t(z[f"{prefix}_fiber"]),
@@ -1023,6 +1204,8 @@ def _trans_op_arrays(prefix: str, op: TransOp, arrays: dict) -> None:
         arrays[f"{prefix}_dense"] = op.dense
     if op.resid is not None:
         _trans_op_arrays(f"{prefix}r", op.resid, arrays)
+    if op.cresid is not None:
+        _cresid_arrays(f"{prefix}c", op.cresid, arrays)
 
 
 def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
@@ -1040,6 +1223,7 @@ def _trans_op_from_arrays(prefix: str, z) -> Optional[TransOp]:
         send_win=z[f"{prefix}_send_win"] if has_win else None,
         win_base=z[f"{prefix}_win_base"] if has_win else None,
         resid=_trans_op_from_arrays(f"{prefix}r", z),
+        cresid=_cresid_from_arrays(f"{prefix}c", z),
         window=int(meta[2]) if meta.size > 2 else 0,
         skip_empty=bool(meta[3]) if meta.size > 3 else False,
         dense=z[f"{prefix}_dense"] if f"{prefix}_dense" in z else None,

@@ -254,17 +254,22 @@ def gmp_apply(
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
         )
         if aggr is not None and level.resid is not None:
-            from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+            acc = None
+            if level.cresid is not None:
+                acc = _cresid_edge_phase(level.cresid, params, xwi, xj, wf,
+                                         aggr, compute_dtype)
+            if acc is None:
+                from bsms_gnn_tpu.ops.pallas import segment_sum_accum
 
-            r = level.resid
-            pre_r = (
-                gather_send(r, xwi, "pallas")
-                + gather_recv(r, xj, "pallas")
-                + dense(r.fiber.astype(x.dtype), wf,
-                        params.mlp_edge.biases[0], compute_dtype)
-            )
-            e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
-            acc = segment_sum_accum(r, e_r, aggr)
+                r = level.resid
+                pre_r = (
+                    gather_send(r, xwi, "pallas")
+                    + gather_recv(r, xj, "pallas")
+                    + dense(r.fiber.astype(x.dtype), wf,
+                            params.mlp_edge.biases[0], compute_dtype)
+                )
+                e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+                acc = segment_sum_accum(r, e_r, aggr)
             aggr = acc if acc is not None else aggr + aggregate_recv(
                 r, e_r, "ell"
             )
@@ -324,28 +329,35 @@ def gmp_apply(
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:], wd,
         )
         if aggr is not None and level.resid is not None:
-            from bsms_gnn_tpu.ops.pallas import segment_sum_accum
+            acc = None
+            if level.cresid is not None:
+                acc = _cresid_edge_phase(
+                    level.cresid, params, xwi, xj, wf_sta, aggr,
+                    compute_dtype, wpos=wpos, wf_dyn=wf[: wd + 1],
+                )
+            if acc is None:
+                from bsms_gnn_tpu.ops.pallas import segment_sum_accum
 
-            r = level.resid
-            p_i = gather_send(r, wpos, "pallas")
-            p_j = gather_recv(r, wpos, "pallas")
-            dvec = p_i - p_j
-            fib_dyn = jnp.concatenate(
-                [dvec, jnp.linalg.norm(dvec, axis=-1, keepdims=True)],
-                axis=-1,
-            )
-            pre_r = (
-                gather_send(r, xwi, "pallas")
-                + gather_recv(r, xj, "pallas")
-                + dense(fib_dyn, wf[: wd + 1], 0.0, compute_dtype)
-                + dense(r.fiber.astype(x.dtype), wf_sta,
-                        params.mlp_edge.biases[0], compute_dtype)
-            )
-            e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
-            acc = segment_sum_accum(r, e_r, aggr)
-            aggr = acc if acc is not None else aggr + aggregate_recv(
-                r, e_r, "ell"
-            )
+                r = level.resid
+                p_i = gather_send(r, wpos, "pallas")
+                p_j = gather_recv(r, wpos, "pallas")
+                dvec = p_i - p_j
+                fib_dyn = jnp.concatenate(
+                    [dvec, jnp.linalg.norm(dvec, axis=-1, keepdims=True)],
+                    axis=-1,
+                )
+                pre_r = (
+                    gather_send(r, xwi, "pallas")
+                    + gather_recv(r, xj, "pallas")
+                    + dense(fib_dyn, wf[: wd + 1], 0.0, compute_dtype)
+                    + dense(r.fiber.astype(x.dtype), wf_sta,
+                            params.mlp_edge.biases[0], compute_dtype)
+                )
+                e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+                acc = segment_sum_accum(r, e_r, aggr)
+                if acc is None:
+                    acc = aggr + aggregate_recv(r, e_r, "ell")
+            aggr = acc
         if aggr is not None:
             return _node_phase(params, x, aggr, method, compute_dtype)
 
@@ -407,6 +419,47 @@ def gmp_apply(
         aggr = aggregate_recv(level, edge_embedding, agg_method)
 
     return _node_phase(params, x, aggr, method, compute_dtype)
+
+
+def _cresid_edge_phase(cr, params, xwi, xj, wf_sta, aggr, compute_dtype,
+                       wpos=None, wf_dyn=None):
+    """Residual edge phase on the COMPACT tables: gathers + edge MLP over
+    ~R real rows (instead of the mini layout's 3-4x padded slot space) and
+    the block-visit accumulate (ops/pallas/compact_resid.py). `wpos`/
+    `wf_dyn` add the dynamic world-space fiber term (contact cases).
+    Returns the accumulated aggregate, or None when the compact kernel is
+    unsupported (width not 128-aligned) — callers fall back to the mini
+    layout."""
+    import jax
+
+    from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
+    from bsms_gnn_tpu.ops.pallas.compact_resid import (
+        compact_accum,
+        compact_gather,
+        supported,
+    )
+
+    probe = jax.ShapeDtypeStruct(
+        xwi.shape[:-2] + (cr.n_rows, xwi.shape[-1]), xwi.dtype
+    )
+    if not (cr.symmetric and supported(cr, probe, aggr)):
+        return None
+    pre_r = (
+        compact_gather(cr, xwi, "send")
+        + compact_gather(cr, xj, "recv")
+        + dense(cr.fiber.astype(xwi.dtype), wf_sta,
+                params.mlp_edge.biases[0], compute_dtype)
+    )
+    if wpos is not None:
+        p_i = compact_gather(cr, wpos, "send")
+        p_j = compact_gather(cr, wpos, "recv")
+        dvec = p_i - p_j
+        fib_dyn = jnp.concatenate(
+            [dvec, jnp.linalg.norm(dvec, axis=-1, keepdims=True)], axis=-1
+        )
+        pre_r = pre_r + dense(fib_dyn, wf_dyn, 0.0, compute_dtype)
+    e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
+    return compact_accum(cr, e_r, aggr)
 
 
 def _node_phase(params: GMPParams, x, aggr, method: str, compute_dtype):
@@ -484,6 +537,17 @@ def _windowed_conv(level: LevelGraph, x, ew, up: bool):
     out = windowed_conv_raw(level, x, ew)
     if out is None:
         return None
+    cr = level.cresid
+    if cr is not None:
+        # Compact residual: the take runs over ~R real rows instead of the
+        # mini layout's padded slot space (ops/pallas/compact_resid.py).
+        from bsms_gnn_tpu.ops.pallas.compact_resid import compact_accum_raw
+
+        ew_r = (cr.ew_rev if up else cr.ew).astype(x.dtype)
+        msg = jnp.take(x, cr.senders, axis=-2) * ew_r[..., None]
+        out2 = compact_accum_raw(cr, msg, out)
+        if out2 is not None:
+            return out2.astype(x.dtype)
     r = level.resid
     if r is not None:
         ew_r = (r.ew_rev if up else r.ew).astype(x.dtype)

@@ -51,6 +51,19 @@ def _apply(op: TransOp, x, method: str):
 
         out = windowed_rect_conv_raw(op, x)
         if out is not None:
+            cr = op.cresid
+            if cr is not None:
+                # Compact residual: take + block-visit accumulate over ~R
+                # real rows (ops/pallas/compact_resid.py).
+                from bsms_gnn_tpu.ops.pallas.compact_resid import (
+                    compact_accum_raw,
+                )
+
+                msg = (jnp.take(x, cr.senders, axis=-2)
+                       * cr.ew.astype(x.dtype)[..., None])
+                acc = compact_accum_raw(cr, msg, out)
+                if acc is not None:
+                    return acc.astype(x.dtype)
             r = op.resid
             if r is not None:
                 from bsms_gnn_tpu.ops.pallas import segment_sum_accum_raw

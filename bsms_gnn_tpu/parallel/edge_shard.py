@@ -32,6 +32,13 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
     edge = P("graph")
     repl = P()
 
+    def cresid_spec(cr):
+        # Compact residual tables are tiny (~R real edges) — replicate.
+        return None if cr is None else cr.replace(
+            senders=repl, receivers=repl, ew=repl, ew_rev=repl, fiber=repl,
+            twin=repl, visit_block=repl, visit_cblk=repl, visit_recv=repl,
+        )
+
     def level_spec(l):
         return l.replace(
             senders=edge,
@@ -49,6 +56,7 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             send_win=None if l.send_win is None else edge,
             win_base=None if l.win_base is None else repl,
             resid=None if l.resid is None else level_spec(l.resid),
+            cresid=cresid_spec(l.cresid),
             fiber_t=None if l.fiber_t is None else P(None, "graph"),
         )
 
@@ -59,6 +67,7 @@ def hierarchy_pspecs(h: Hierarchy) -> Hierarchy:
             send_win=None if op.send_win is None else edge,
             win_base=None if op.win_base is None else repl,
             resid=trans_op_spec(op.resid),
+            cresid=cresid_spec(op.cresid),
             dense=None if op.dense is None else repl,
         )
 

@@ -304,11 +304,14 @@ def _attach_ghost_layout(
         e_layouts.append(layout_edge_count(counts, n_ext_pad, edge_block))
 
     emax = max(e_layouts)
+    # cresid=None: per-shard compact-residual tables have per-shard shapes
+    # and cannot stack leaf-wise across shards (the halo paths use the
+    # shape-pinned mini residual layouts instead).
     lgs = [
         _pad_level(
             CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
             edge_block=edge_block, window=window,
-        )
+        ).replace(cresid=None)
         for le, ec_l, ext_pos in shard_inputs
     ]
     if window and any(lg.resid is not None for lg in lgs):
