@@ -22,8 +22,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512):
-    import jax
+def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512,
+         replicate_floor=0, force_cpu=False):
+    if force_cpu:
+        from bsms_gnn_tpu.parallel.mesh import ensure_n_devices
+
+        jax = ensure_n_devices(max(shards))
+    else:
+        import jax
     import jax.numpy as jnp
 
     from bsms_gnn_tpu.config import load_config
@@ -72,11 +78,12 @@ def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512):
     mask[:n] = 1.0
 
     base_eps = None
+    rows = []
     for s in shards:
         plan = build_partition(
             levels, s, n_pad, pos.astype(np.float64),
             local_layouts=True, edge_block=min(512, 128 if s > 4 else 512),
-            window=window,
+            window=window, replicate_floor=replicate_floor,
         )
         tr = Trainer(cfg)
         mesh = make_mesh(1, s, devices=jax.devices()[:s])
@@ -91,17 +98,45 @@ def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512):
         if base_eps is None:
             base_eps = eps
         eff = eps / (base_eps * s / shards[0])
+        rows.append({
+            "shards": s, "ms_fwd": round(1e3 * t, 3),
+            "medges_per_s": round(eps / 1e6, 2),
+            "scaling_eff": round(eff, 4),
+        })
         print(
             f"shards={s}: {1e3 * t:8.2f} ms/fwd  {eps / 1e6:9.1f} Medges/s  "
             f"scaling-eff {100 * eff:5.1f}%",
             flush=True,
         )
 
+    import json
+
+    plat = jax.devices()[0].platform
+    out = os.path.join(
+        os.path.dirname(__file__), "out", f"halo_scaling_{plat}.json"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({
+            "mesh": {"n_nodes": n, "depth": depth, "window": window,
+                     "replicate_floor": replicate_floor,
+                     "total_edges_per_fwd": int(total_edges)},
+            "platform": plat,
+            "note": ("CPU wall-clock: absolute times are not TPU times, but "
+                     "padding overhead is real executed work, so the S-curve "
+                     "anchors the scaling model's padding-factor term "
+                     "(BASELINE.md row 3, PARITY.md 'Scaling model')."),
+            "rows": rows,
+        }, f, indent=1)
+    print("wrote", out)
+
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
+    a = [x for x in sys.argv[1:] if not x.startswith("--")]
     main(
         int(a[0]) if a else 20000,
         int(a[1]) if len(a) > 1 else 6,
-        tuple(int(x) for x in a[2:]) or (1, 2, 4, 8),
+        tuple(int(x) for x in a[2:5]) or (1, 2, 4, 8),
+        replicate_floor=int(a[5]) if len(a) > 5 else 0,
+        force_cpu=("--cpu" in sys.argv),
     )

@@ -68,8 +68,10 @@ def _collective_bytes(hlo_text: str):
 
 
 def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
-         compile_hlo=True):
-    import jax
+         compile_hlo=True, replicate_floor=0):
+    from bsms_gnn_tpu.parallel.mesh import ensure_n_devices
+
+    jax = ensure_n_devices(max(shards))  # virtual CPU mesh (axon is 1-chip)
     import jax.numpy as jnp
 
     from bsms_gnn_tpu.config import load_config
@@ -125,7 +127,7 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
     for s in shards:
         plan = build_partition(
             levels, s, n_pad, pos.astype(np.float64),
-            local_layouts=True, window=512,
+            local_layouts=True, window=512, replicate_floor=replicate_floor,
         )
         tr = Trainer(cfg)
         loss = float("nan")
@@ -160,6 +162,7 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
                 "e_pad_local": (
                     0 if lg is None else int(np.asarray(lg.senders).shape[-1])
                 ),
+                "replicated": bool(lvl.replicated),
             })
         pad_factor = (
             sum(r["e_pad_local"] for r in lvl_rows) * s / e_global
@@ -169,8 +172,16 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
         halo_bytes_fwd = sum(
             s * r["halo_width"] * 2 * cfg.model.latent_dim * 4
             * (1 if r["level"] == depth else 2)
-            for r in lvl_rows
+            for r in lvl_rows if not r["replicated"]
         )
+        # Replication boundary: one [n_loc_child, C] psum assembling the
+        # first replicated level (fwd; bwd mirrors it) — counted at 1x bytes
+        # like the grad psum below.
+        first_repl = next(
+            (r for r in lvl_rows if r["replicated"]), None
+        )
+        if first_repl is not None:
+            halo_bytes_fwd += first_repl["n_loc"] * cfg.model.latent_dim * 4
         n_params = sum(
             int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(tr.state.sim.params)
@@ -221,4 +232,5 @@ if __name__ == "__main__":
         int(a[1]) if len(a) > 1 else 7,
         float(a[2]) if len(a) > 2 else 16.2,
         compile_hlo=("--no-compile" not in sys.argv),
+        replicate_floor=int(a[3]) if len(a) > 3 else 0,
     )

@@ -341,6 +341,13 @@ class Transition:
     unpool_inv: np.ndarray  # [N_pad_parent] child slot or M_pad (zero slot)
     down_op: Optional[TransOp] = None
     up_op: Optional[TransOp] = None
+    # Replication boundary (parallel/partition.py, replicate_floor > 0):
+    # parent level partitioned, child level replicated on every shard. Set
+    # to [S, M_child, 1] with 1 where this shard owns the child's parent —
+    # the online pool masks non-owned rows and psums shards to assemble the
+    # full child level (ops/pool.py::pool_nodes_boundary); unpool back is a
+    # purely local full-child gather. None everywhere else.
+    pool_mask: Optional[np.ndarray] = None
     # Dense [child_pad, parent_pad] / [parent_pad, child_pad] operator
     # matrices for BUCKETED variable-mesh groups: sparse op layouts can't
     # stack across meshes (per-mesh E_pad), but dense matrices at bucket

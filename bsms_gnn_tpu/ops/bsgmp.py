@@ -25,7 +25,12 @@ from bsms_gnn_tpu.ops.message import (
     gmp_apply,
     init_gmp,
 )
-from bsms_gnn_tpu.ops.pool import pool_nodes, unpool_nodes
+from bsms_gnn_tpu.ops.pool import (
+    pool_nodes,
+    pool_nodes_boundary,
+    unpool_nodes,
+    unpool_nodes_boundary,
+)
 from bsms_gnn_tpu.ops.transition import trans_down, trans_up
 
 
@@ -141,6 +146,15 @@ def bsgmp_apply(
             h = trans_down(trans, h, method)
             if dyn is not None:
                 dyn = trans_down(trans, dyn, method)
+        elif getattr(trans, "pool_mask", None) is not None:
+            # Replication boundary (halo plans with replicate_floor): the
+            # child level is replicated; one psum assembles it per shard.
+            ax = method.split(":")[1]
+            h = edge_conv_down(level, h, None, method)
+            h = pool_nodes_boundary(trans, h, ax)
+            if dyn is not None:
+                dyn = edge_conv_down(level, dyn, None, method)
+                dyn = pool_nodes_boundary(trans, dyn, ax)
         else:
             h = edge_conv_down(level, h, None, method)
             h = pool_nodes(trans, h)
@@ -158,6 +172,9 @@ def bsgmp_apply(
         trans = hierarchy.transitions[d]
         if _use_fused_trans(trans, level, method):
             h = trans_up(trans, h, method)
+        elif getattr(trans, "pool_mask", None) is not None:
+            h = unpool_nodes_boundary(trans, h)  # local full-child gather
+            h = edge_conv_up(level, h, None, method)
         else:
             h = unpool_nodes(trans, h)
             h = edge_conv_up(level, h, None, method)

@@ -62,6 +62,60 @@ def _unpool_bwd(res, g):
 _unpool.defvjp(_unpool_fwd, _unpool_bwd)
 
 
+def pool_nodes_boundary(t: Transition, h, axis: str):
+    """Pool across the replication boundary (parent partitioned, child
+    replicated — parallel/partition.py `replicate_floor`): each shard
+    gathers the child rows whose parent it owns (others masked to zero —
+    the parent pad node is NOT zero post-GMP), then one `psum` assembles
+    the identical full child level on every shard.
+
+    Adjoint: each shard's replica of the child feeds its own downstream
+    compute, so the global child cotangent is the psum of the per-shard
+    cotangents; gathering it through `unpool_inv` (which only references
+    children whose parent this shard owns) restores the owned-parent rows.
+    """
+    pool_ids, unpool_inv = t.pool_ids, t.unpool_inv
+    mask = t.pool_mask
+
+    @jax.custom_vjp
+    def f(h):
+        part = _take(h, pool_ids) * mask.astype(h.dtype)
+        return jax.lax.psum(part, axis)
+
+    def fwd(h):
+        return f(h), None
+
+    def bwd(_, g):
+        return (_gather_with_zero_slot(jax.lax.psum(g, axis), unpool_inv),)
+
+    f.defvjp(fwd, bwd)
+    return f(h)
+
+
+def unpool_nodes_boundary(t: Transition, h):
+    """Unpool across the replication boundary: the child level is replicated
+    (every shard holds the full table), so each shard's owned parents gather
+    their children locally — ZERO communication. Adjoint of
+    `pool_nodes_boundary` without the psum: the cotangent scatter back into
+    the replicated child is exactly the masked pool gather (this shard's
+    replica only owes the rows its own parents consumed)."""
+    pool_ids, unpool_inv = t.pool_ids, t.unpool_inv
+    mask = t.pool_mask
+
+    @jax.custom_vjp
+    def f(h):
+        return _gather_with_zero_slot(h, unpool_inv)
+
+    def fwd(h):
+        return f(h), None
+
+    def bwd(_, g):
+        return (_take(g, pool_ids) * mask.astype(g.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(h)
+
+
 def pool_nodes(t: Transition, h):
     """h_child[m] = h_parent[pool_ids[m]] (pad slots read the parent pad
     node's zeros)."""

@@ -93,8 +93,12 @@ def _is_ghost(level) -> bool:
 
 def _ext_assemble(level: HaloLevel, x, axis: str):
     """[..., N_loc, C] → [..., N_ext_pad, C]: local rows, received halo
-    rows (one all_to_all), zero pad rows (incl. the layout's pad node)."""
+    rows (one all_to_all), zero pad rows (incl. the layout's pad node).
+    Replicated levels (every shard holds the full level) have no halo —
+    zero-fill the (unreferenced) halo slots instead of communicating."""
     lg = level.local
+    if level.replicated:
+        return _pad_rows(x, lg.n_pad_nodes)
     halo = _halo_rows(x, level.halo_send, axis)
     pad = lg.n_pad_nodes - x.shape[-2] - halo.shape[-2]
     zeros = jnp.zeros(x.shape[:-2] + (pad, x.shape[-1]), x.dtype)
@@ -145,6 +149,8 @@ def _gather_send_ghost(level: HaloLevel, x, axis: str):
     def bwd(_, ct):
         full = _kernel_send_sum(lg, ct)
         local = full[..., :n_loc, :]
+        if level.replicated:  # no halo slots were referenced
+            return (local.astype(in_dtype),)
         nh = level.halo_send.shape[0] * level.halo_send.shape[1]
         remote = _halo_return(
             full[..., n_loc : n_loc + nh, :], level.halo_send, n_loc, axis
@@ -298,6 +304,8 @@ def gather_send(level: HaloLevel, x, axis: str):
 
     @jax.custom_vjp
     def g(x):
+        if level.replicated:  # all senders local: no halo exchange
+            return jnp.take(x, level.senders_ext, axis=-2)
         halo = _halo_rows(x, level.halo_send, axis)
         ext = jnp.concatenate([x, halo], axis=-2)
         return jnp.take(ext, level.senders_ext, axis=-2)
@@ -314,6 +322,8 @@ def gather_send(level: HaloLevel, x, axis: str):
 
 def _aggregate_send_impl(level: HaloLevel, feat, axis: str):
     n_loc = level.n_pad_nodes
+    if level.replicated:  # all senders local: no return collective
+        return _seg_sum(feat, level.senders_ext, n_loc)
     s, h = level.halo_send.shape  # local view: [S_dest, H]
     partial_ext = _seg_sum(feat, level.senders_ext, n_loc + s * h)
     local = partial_ext[..., :n_loc, :]
@@ -334,6 +344,8 @@ def aggregate_send(level: HaloLevel, feat, axis: str):
         return g(feat), None
 
     def bwd(_, ct):
+        if level.replicated:  # all senders local
+            return (jnp.take(ct, level.senders_ext, axis=-2),)
         halo = _halo_rows(ct, level.halo_send, axis)
         ext = jnp.concatenate([ct, halo], axis=-2)
         return (jnp.take(ext, level.senders_ext, axis=-2),)

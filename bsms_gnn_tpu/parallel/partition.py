@@ -75,6 +75,13 @@ class HaloLevel:
     halo_width: int = struct.field(pytree_node=False)  # H
     n_nodes: int = struct.field(pytree_node=False)  # total real nodes
     n_edges: int = struct.field(pytree_node=False)  # total real edges
+    # Deep-level replication (build_partition(replicate_floor=...)): every
+    # shard holds the FULL level (arrays are S tiled copies of a
+    # single-shard build), message passing is purely local, and the online
+    # ops skip every halo collective. Partitioning a level whose per-shard
+    # share is mostly block padding costs more compute than replicating it —
+    # see benchmarks/scaling_model.py (BASELINE.md row 3).
+    replicated: bool = struct.field(pytree_node=False, default=False)
     # Ghost-edge kernel layout (build_partition(local_layouts=True)): a true
     # per-shard LevelGraph over the EXTENDED node space [x_loc ; halo ; pad]
     # whose edge set is each shard's owned (receiver-local) edges PLUS the
@@ -372,6 +379,133 @@ def _attach_ghost_layout(
     )
 
 
+def _balanced_assignment(graphs, ids, n_shards: int) -> np.ndarray:
+    """Contiguous level-0 split points that balance per-shard EDGE work.
+
+    Every stacked per-shard array pads to the MAX shard's count (SPMD needs
+    one static shape), so the padding factor — the real source of
+    sub-linear scaling (BASELINE.md row 3) — is set by the most loaded
+    shard, not the average. Equal node counts land far from equal edge
+    counts on graded meshes (denser regions own more edges, and bi-stride's
+    A^2 enrichment amplifies the skew with depth: measured 1.7x max/mean
+    edge imbalance at S=8 on the 1M graded airfoil). Instead, project each
+    level-l node's owned-edge count onto its level-0 ancestor (bi-stride
+    keeps node subsets, so the ancestor map is injective) and place the
+    S-1 split points at equal cumulative-cost increments. Contiguity — and
+    with it halo locality — is preserved."""
+    n0 = graphs[0].num_nodes
+    cost0 = np.ones(n0, np.float64)
+    anc = np.arange(n0)
+    for l, g in enumerate(graphs):
+        own = np.bincount(g.flat_edges[1], minlength=g.num_nodes)
+        cost0[anc] += own  # anc is injective: direct indexed add
+        if l < len(ids):
+            anc = anc[ids[l]]
+    cum = np.cumsum(cost0)
+    assignment = np.minimum(
+        ((cum - cost0 / 2) * n_shards // cum[-1]).astype(np.int64),
+        n_shards - 1,
+    )
+    return assignment
+
+
+def _optimize_breakpoints(
+    graphs, ids, n_shards: int, level_modes, grid: int = 1024,
+    sweeps: int = 3,
+) -> np.ndarray:
+    """Coordinate-descent over contiguous level-0 split points minimizing
+    the EXACT padding objective Σ_l max_s load(l, s), where a shard's load
+    at a ghost-layout level is owned + ghost-twin slots (2·owned − intra)
+    and at a plain halo level just its owned edges; replicated levels are
+    assignment-independent and skipped.
+
+    Each level's edges are binned into a [grid, grid] histogram over
+    (receiver-ancestor, sender-ancestor) level-0 index bins, so any
+    breakpoint vector's per-shard owned/intra counts are O(1) 2D
+    prefix-sum queries — the full optimizer is O(sweeps · S · grid · L)
+    regardless of edge count. This attacks both padding sources the
+    cumulative-cost heuristic cannot: per-LEVEL imbalance (stacked arrays
+    pad to the max shard) and cut edges at ghost levels (each adds a twin
+    slot)."""
+    n0 = graphs[0].num_nodes
+    grid = min(grid, n0)
+    anc = np.arange(n0)
+    row_pre = []  # [L][grid+1] prefix of row sums (owned)
+    box_pre = []  # [L][grid+1, grid+1] 2D prefix (intra boxes)
+    modes = []
+    for l, g in enumerate(graphs):
+        mode = level_modes[l]
+        if mode != "skip":
+            snd, rcv = g.flat_edges
+            bi = anc[rcv].astype(np.int64) * grid // n0
+            bj = anc[snd].astype(np.int64) * grid // n0
+            h = np.bincount(bi * grid + bj, minlength=grid * grid)
+            h = h.reshape(grid, grid)
+            rp = np.zeros(grid + 1, np.int64)
+            rp[1:] = np.cumsum(h.sum(axis=1))
+            bp = np.zeros((grid + 1, grid + 1), np.int64)
+            bp[1:, 1:] = h.cumsum(axis=0).cumsum(axis=1)
+            row_pre.append(rp)
+            box_pre.append(bp)
+            modes.append(mode)
+        if l < len(ids):
+            anc = anc[ids[l]]
+
+    def loads(l, lo, hi):
+        owned = row_pre[l][hi] - row_pre[l][lo]
+        if modes[l] != "ghost":
+            return owned
+        bp = box_pre[l]
+        intra = bp[hi, hi] - bp[lo, hi] - bp[hi, lo] + bp[lo, lo]
+        return 2 * owned - intra
+
+    # init: equal cumulative total-load increments on the grid
+    total = np.zeros(grid + 1, np.float64)
+    for l in range(len(row_pre)):
+        total += loads(l, 0, np.arange(grid + 1))
+    b = np.searchsorted(
+        total, total[-1] * np.arange(1, n_shards) / n_shards
+    ).astype(np.int64)
+    b = np.concatenate([[0], b, [grid]])
+    for k in range(1, n_shards + 1):  # enforce strictly increasing
+        b[k] = max(b[k], b[k - 1] + 1)
+    b[n_shards] = grid
+    for k in range(n_shards - 1, 0, -1):
+        b[k] = min(b[k], b[k + 1] - 1)
+
+    L = len(row_pre)
+    for _ in range(sweeps):
+        for k in range(1, n_shards):
+            cand = np.arange(b[k - 1] + 1, b[k + 1])
+            if len(cand) <= 1:
+                continue
+            obj = np.zeros(len(cand), np.float64)
+            for l in range(L):
+                cur = loads(l, b[:-1], b[1:])
+                others = np.delete(cur, [k - 1, k])
+                omax = others.max() if len(others) else 0
+                lo_side = loads(l, np.full_like(cand, b[k - 1]), cand)
+                hi_side = loads(l, cand, np.full_like(cand, b[k + 1]))
+                obj += np.maximum(omax, np.maximum(lo_side, hi_side))
+            b[k] = cand[int(np.argmin(obj))]
+
+    bins = np.arange(n0, dtype=np.int64) * grid // n0
+    return np.searchsorted(b[1:-1], bins, side="right").astype(np.int64)
+
+
+def _tile_level(level: HaloLevel, n_shards: int) -> HaloLevel:
+    """Tile a single-shard HaloLevel into S identical per-shard copies
+    (leading axis S on every leaf, as shard_map's in_specs require)."""
+    import jax
+
+    def tile(a):
+        a = np.asarray(a)
+        return np.tile(a, (n_shards,) + (1,) * (a.ndim - 1))
+
+    tiled = jax.tree_util.tree_map(tile, level)
+    return tiled.replace(n_shards=n_shards, replicated=True)
+
+
 def build_partition(
     levels: BistrideLevels,
     n_shards: int,
@@ -381,38 +515,92 @@ def build_partition(
     local_layouts: bool = False,
     edge_block: int = EDGE_BLOCK,
     window: int = 0,
+    replicate_floor: int = 0,
+    balance: str = "opt",
+    ghost_floor: int = 0,
 ) -> PartitionPlan:
     """Partition raw bi-stride levels into an S-shard halo plan.
 
     `n_global_pad` is the row count of the (padded) global feature arrays
     the caller will feed `partition_nodes` (their pad rows must be zero);
     `pos` is the level-0 mesh position array used for the offline static
-    fibers."""
+    fibers.
+
+    `replicate_floor`: levels with at most this many nodes (and everything
+    deeper) are REPLICATED instead of partitioned — each shard holds the
+    full level and runs its (tiny, <2% of total) compute redundantly with
+    zero halo traffic. Deep bi-stride levels split S ways are mostly block
+    padding (the per-shard share of a 1-2k-node level pads back up to the
+    same kernel chunk sizes), so partitioning them costs MORE per-chip work
+    than replicating. The transition into the first replicated level
+    assembles the full child with one psum (ops/pool.py::
+    pool_nodes_boundary); the transition out is a local gather.
+
+    `ghost_floor`: levels with at most this many nodes keep the PLAIN halo
+    layout (no ghost-edge twins) even under `local_layouts=True`. Deep
+    bi-stride levels are near-dense (A^2 enrichment), so almost every edge
+    is cross-shard and the symmetric ghost layout nearly doubles their slot
+    count; the plain path pays one extra (tiny) return all_to_all instead.
+
+    `balance`: "opt" (default) runs the per-level breakpoint optimizer
+    (_optimize_breakpoints — minimizes the exact stacked-padding
+    objective); "cost" the cumulative-edge-cost heuristic; "nodes" plain
+    equal node counts."""
     graphs, ids = levels.graphs, levels.ids
     n0 = graphs[0].num_nodes
+
+    # Per-level modes (decided up front — the optimizer needs them).
+    repl_plan = []
+    replicating = False
+    for l, g in enumerate(graphs):
+        replicating = replicating or (
+            0 < replicate_floor >= g.num_nodes and l > 0 and n_shards > 1
+        )
+        repl_plan.append(replicating)
+    level_modes = [
+        "skip" if repl_plan[l]
+        else (
+            "ghost"
+            if local_layouts and not (0 < ghost_floor >= g.num_nodes)
+            else "plain"
+        )
+        for l, g in enumerate(graphs)
+    ]
+
     # Contiguous index blocks at level 0 (mesh numbering is usually spatially
     # coherent; a BFS-band or METIS ordering can be applied upstream by
     # permuting the mesh ids).
-    per = -(-n0 // n_shards)
-    assignment = np.minimum(np.arange(n0) // per, n_shards - 1)
+    if balance == "opt":
+        assignment = _optimize_breakpoints(graphs, ids, n_shards, level_modes)
+    elif balance == "cost":
+        assignment = _balanced_assignment(graphs, ids, n_shards)
+    else:
+        per = -(-n0 // n_shards)
+        assignment = np.minimum(np.arange(n0) // per, n_shards - 1)
 
     halo_levels = []
     owned_per_level = []
     local_per_level = []
     assignments = []
+    repl_flags = repl_plan
     ecs = transition_edge_weights(levels)
     lvl_pos = smoothed_positions(levels, pos)
     for l, g in enumerate(graphs):
         deg_g = g.degrees().astype(np.float32)
+        replicating = repl_flags[l]
+        a_lvl = np.zeros(g.num_nodes, assignment.dtype) if replicating else assignment
+        s_lvl = 1 if replicating else n_shards
         lvl, owned, local_of, halo_lists = _partition_level(
             g.flat_edges, g.num_nodes, deg_g, ecs[l], lvl_pos[l],
-            assignment, n_shards, block,
+            a_lvl, s_lvl, block,
         )
-        if local_layouts:
+        if level_modes[l] == "ghost" or (replicating and local_layouts):
             lvl = _attach_ghost_layout(
-                lvl, g.flat_edges, ecs[l], lvl_pos[l], assignment,
+                lvl, g.flat_edges, ecs[l], lvl_pos[l], a_lvl,
                 owned, local_of, halo_lists, edge_block, window,
             )
+        if replicating:
+            lvl = _tile_level(lvl, n_shards)
         halo_levels.append(lvl)
         owned_per_level.append(owned)
         local_per_level.append(local_of)
@@ -424,6 +612,39 @@ def build_partition(
     for l, kept in enumerate(ids):
         n_loc_p = halo_levels[l].n_pad_nodes
         n_loc_c = halo_levels[l + 1].n_pad_nodes
+        if repl_flags[l]:
+            # Both levels replicated: the plain single-device transition,
+            # tiled per shard (child c keeps parent kept[c]; identity local
+            # numbering on both sides). Zero communication.
+            nc = len(kept)
+            pool1 = np.full(n_loc_c, n_loc_p - 1, np.int32)
+            pool1[:nc] = kept.astype(np.int32)
+            unpool1 = np.full(n_loc_p, n_loc_c, np.int32)
+            unpool1[kept] = np.arange(nc, dtype=np.int32)
+            transitions.append(Transition(
+                pool_ids=np.tile(pool1, (n_shards, 1)),
+                unpool_inv=np.tile(unpool1, (n_shards, 1)),
+            ))
+            continue
+        if repl_flags[l + 1]:
+            # Replication boundary: parent partitioned, child replicated
+            # (identity local numbering). Each shard supplies the child rows
+            # whose parent it owns (pool_mask), psum assembles the rest.
+            pool_local = np.full((n_shards, n_loc_c), n_loc_p - 1, np.int32)
+            pool_mask = np.zeros((n_shards, n_loc_c, 1), np.float32)
+            unpool_local = np.full((n_shards, n_loc_p), n_loc_c, np.int32)
+            parent_local = local_per_level[l]
+            child_assign = assignments[l + 1]  # owner of each child's parent
+            for s in range(n_shards):
+                cs = np.flatnonzero(child_assign == s)
+                pool_local[s, cs] = parent_local[kept[cs]].astype(np.int32)
+                pool_mask[s, cs, 0] = 1.0
+                unpool_local[s, parent_local[kept[cs]]] = cs.astype(np.int32)
+            transitions.append(Transition(
+                pool_ids=pool_local, unpool_inv=unpool_local,
+                pool_mask=pool_mask,
+            ))
+            continue
         pool_local = np.full((n_shards, n_loc_c), n_loc_p - 1, np.int32)
         unpool_local = np.full((n_shards, n_loc_p), n_loc_c, np.int32)
         parent_local = local_per_level[l]

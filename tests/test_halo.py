@@ -46,7 +46,8 @@ def _cfg(**model_kw):
     )
 
 
-def _setup(n_shards=4, local_layouts=False, window=0, **model_kw):
+def _setup(n_shards=4, local_layouts=False, window=0, replicate_floor=0,
+           **model_kw):
     cfg = _cfg(**model_kw)
     pos, cells = make_grid_mesh(9, 9)
     edges = to_flat_edge(cells, "tri")
@@ -55,7 +56,8 @@ def _setup(n_shards=4, local_layouts=False, window=0, **model_kw):
     h = pad_levels(levels, pad_multiple=32, pos=pos)
     n_pad = h.levels[0].n_pad_nodes
     plan = build_partition(levels, n_shards, n_pad, pos, block=32,
-                           local_layouts=local_layouts, window=window)
+                           local_layouts=local_layouts, window=window,
+                           replicate_floor=replicate_floor)
 
     rng = np.random.default_rng(3)
     node_in = np.zeros((n_pad, OUT + 3), np.float32)
@@ -370,6 +372,109 @@ def test_halo_forward_matches_single_device(local_layouts):
         )
     )
     np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("local_layouts", [False, True])
+@pytest.mark.parametrize("floor", [25, 45])
+def test_replicated_forward_matches_single_device(local_layouts, floor):
+    """Deep-level replication (replicate_floor): levels at/below the node
+    floor are held in full on every shard (BASELINE.md row 3's padding
+    fix). floor=25 replicates only the bottom level (boundary transition at
+    depth 1); floor=45 replicates levels 1+2 (boundary at depth 0 plus a
+    fully-replicated transition). Forward must match the single-device
+    model exactly."""
+    cfg, h, plan, n, node_in, _, mask = _setup(
+        local_layouts=local_layouts, replicate_floor=floor
+    )
+    flags = [lvl.replicated for lvl in plan.hierarchy.levels]
+    assert flags == ([False, False, True] if floor == 25
+                     else [False, True, True])
+    n_boundary = sum(
+        t.pool_mask is not None for t in plan.hierarchy.transitions
+    )
+    assert n_boundary == 1
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), cfg.model,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-4, atol=1e-5)
+
+
+def test_replicated_fused_forward_matches_single_device():
+    """Replication composed with the windowed fused ghost path (the
+    production multichip configuration)."""
+    import dataclasses
+
+    cfg, h, plan, n, node_in, _, mask = _setup(
+        local_layouts=True, window=128, latent_dim=128,
+        aggregation="fused", replicate_floor=25,
+    )
+    assert plan.hierarchy.levels[-1].replicated
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+    ref_cfg = dataclasses.replace(cfg.model, aggregation="ell")
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), ref_cfg,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_shards,floor", [(2, 25), (4, 45), (8, 25)])
+def test_replicated_train_step_matches_single_device(n_shards, floor):
+    """Replicated deep levels: warmup + two optimizer steps must reproduce
+    the unpartitioned trainer (loss, params, normalizer stats) — the
+    gradient path crosses the boundary psum in both directions."""
+    cfg, h, plan, n, node_in, node_tar, mask = _setup(
+        n_shards, replicate_floor=floor
+    )
+    tr_ref = Trainer(cfg)
+    key = jax.random.PRNGKey(5)
+    losses_ref = [
+        float(tr_ref.iter(h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                          jnp.asarray(mask), jax.random.fold_in(key, i)))
+        for i in range(3)
+    ]
+
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, n_shards)
+    step = make_halo_train_step(tr, mesh, plan)
+    state = tr.state
+    ni = jnp.asarray(partition_nodes(plan, node_in))
+    nt = jnp.asarray(partition_nodes(plan, node_tar))
+    nm = jnp.asarray(partition_nodes(plan, mask))
+    losses = []
+    for i in range(3):
+        state, loss = step(state, ni, nt, nm, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.sim.params),
+        jax.tree_util.tree_leaves(tr_ref.state.sim.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
 
 
 @pytest.mark.parametrize(
