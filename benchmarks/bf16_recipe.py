@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_nodes=50_000, depth=6, budget_s=240.0):
+def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
     import jax
     import jax.numpy as jnp
 
@@ -54,16 +54,6 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0):
     pos, cells, node_type = mesh
     n = pos.shape[0]
     frames = 24
-    trajs = [
-        np.concatenate([f["velocity"], f["density"]], -1)
-        for f in (generate_trajectory(n, frames, rng, True, mesh)[0]
-                  for _ in range(4))
-    ]
-    test = [
-        np.concatenate([f["velocity"], f["density"]], -1)
-        for f in (generate_trajectory(n, frames, rng, True, mesh)[0]
-                  for _ in range(2))
-    ]
     mask = (node_type[:, 0] == 0).astype(np.float32)[:, None]
 
     cache = "/tmp/bsms-bf16recipe"
@@ -81,95 +71,130 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0):
         return out
 
     mask_pad = jnp.asarray(pad(mask[None]))
-    batch_rng = np.random.default_rng(5)
-    out_dim = 3
 
-    def batch(s):
-        i = int(batch_rng.integers(0, len(trajs)))
-        t = int(batch_rng.integers(0, frames - 1))
-        fields = trajs[i]
-        node_in = np.concatenate(
-            [fields[t], pos.astype(np.float32), node_type.astype(np.float32)], -1
-        )
-        return (jnp.asarray(pad(node_in[None])),
-                jnp.asarray(pad(fields[t + 1][None])))
+    # (name, compute_dtype, io_dtype override): "bf16_io32" runs the
+    # processor in bf16 but pins the encode/decode MLPs to f32 — the
+    # selective-precision ablation VERDICT r3 item 5 asks for.
+    variants = [
+        ("float32", "float32", ""),
+        ("bfloat16", "bfloat16", ""),
+        ("bf16_io32", "bfloat16", "float32"),
+    ]
+    results = {"config": {"n_nodes": n, "depth": depth, "budget_s": budget_s,
+                          "seeds": list(seeds)}, "runs": {}}
 
-    results = {"config": {"n_nodes": n, "depth": depth, "budget_s": budget_s}}
-    for dtype in ("float32", "bfloat16"):
-        cfg = load_config([
-            f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
-            "model.aggregation=pallas", f"model.compute_dtype={dtype}",
-            "model.remat=true",
-            "model.accumulation_steps=30",
-            "datasets.noise_level=[0.02,0.02,0.02]",
-            "opt.peak_lr=3e-4", "opt.warmup_steps=100", "opt.decay_steps=3000",
-        ])
-        batch_rng = np.random.default_rng(5)  # identical sample sequence
-        tr = Trainer(cfg, init_key=jax.random.PRNGKey(0))
-        key = jax.random.PRNGKey(1)
-        ni, nt = batch(0)
-        t0 = time.time()
-        tr.iter(h, ni, nt, mask_pad, key)  # compile
-        compile_s = time.time() - t0
+    for seed in seeds:
+        # Fresh trajectories per seed (same mesh/hierarchy): seed variance
+        # of the synthetic dynamics + init + noise — round 3 ran ONE seed
+        # and its 5% rmse gap is within this variance.
+        data_rng = np.random.default_rng(1000 + seed)
+        trajs = [
+            np.concatenate([f["velocity"], f["density"]], -1)
+            for f in (generate_trajectory(n, frames, data_rng, True, mesh)[0]
+                      for _ in range(4))
+        ]
+        test = [
+            np.concatenate([f["velocity"], f["density"]], -1)
+            for f in (generate_trajectory(n, frames, data_rng, True, mesh)[0]
+                      for _ in range(3))
+        ]
 
-        losses = []
-        t0 = time.time()
-        s = 0
-        while time.time() - t0 < budget_s:
-            ni, nt = batch(s)
-            l = tr.iter(h, ni, nt, mask_pad, jax.random.fold_in(key, s))
-            losses.append(float(l))
-            s += 1
-        wall = time.time() - t0
+        for name, dtype, io_dtype in variants:
+            cfg = load_config([
+                f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+                "model.aggregation=pallas", f"model.compute_dtype={dtype}",
+            ] + ([f"model.io_dtype={io_dtype}"] if io_dtype else []) + [
+                "model.remat=true",
+                "model.accumulation_steps=30",
+                "datasets.noise_level=[0.02,0.02,0.02]",
+                "opt.peak_lr=3e-4", "opt.warmup_steps=100",
+                "opt.decay_steps=3000",
+            ])
+            batch_rng = np.random.default_rng(5 + seed)
 
-        sim = tr.state.sim
-
-        def rollout_rmse(roll_dtype):
-            rmses = []
-            for fields in test:
-                ic = np.concatenate(
-                    [fields[0], pos.astype(np.float32),
+            def batch(s):
+                i = int(batch_rng.integers(0, len(trajs)))
+                t = int(batch_rng.integers(0, frames - 1))
+                fields = trajs[i]
+                node_in = np.concatenate(
+                    [fields[t], pos.astype(np.float32),
                      node_type.astype(np.float32)], -1
                 )
-                preds = np.asarray(rollout_trajectory(
-                    SimulatorState(params=sim.params, norm_in=sim.norm_in,
-                                   norm_out=sim.norm_out),
-                    h, jnp.asarray(pad(ic[None]))[0], mask_pad[0],
-                    frames - 1, cfg.model, roll_dtype,
-                ))
-                se = (preds[:, :n] - fields[1:]) ** 2
-                rmses.append(float(np.sqrt(se.mean(axis=(1, 2))).mean()))
-            return float(np.mean(rmses))
+                return (jnp.asarray(pad(node_in[None])),
+                        jnp.asarray(pad(fields[t + 1][None])))
 
-        results[dtype] = {
-            "steps_in_budget": s,
-            "ms_per_step": round(1e3 * wall / max(s, 1), 1),
-            "compile_s": round(compile_s, 1),
-            "loss_curve_tail": [round(float(np.mean(losses[i:i+25])), 5)
-                                for i in range(0, len(losses), 25)],
-            "rollout_rmse": rollout_rmse(
-                jnp.bfloat16 if dtype == "bfloat16" else None
+            tr = Trainer(cfg, init_key=jax.random.PRNGKey(seed))
+            key = jax.random.PRNGKey(100 + seed)
+            ni, nt = batch(0)
+            t0 = time.time()
+            tr.iter(h, ni, nt, mask_pad, key)  # compile
+            compile_s = time.time() - t0
+
+            losses = []
+            t0 = time.time()
+            s = 0
+            while time.time() - t0 < budget_s:
+                ni, nt = batch(s)
+                l = tr.iter(h, ni, nt, mask_pad, jax.random.fold_in(key, s))
+                losses.append(float(l))
+                s += 1
+            wall = time.time() - t0
+
+            sim = tr.state.sim
+
+            def rollout_rmse(roll_dtype):
+                rmses = []
+                for fields in test:
+                    ic = np.concatenate(
+                        [fields[0], pos.astype(np.float32),
+                         node_type.astype(np.float32)], -1
+                    )
+                    preds = np.asarray(rollout_trajectory(
+                        SimulatorState(params=sim.params, norm_in=sim.norm_in,
+                                       norm_out=sim.norm_out),
+                        h, jnp.asarray(pad(ic[None]))[0], mask_pad[0],
+                        frames - 1, cfg.model, roll_dtype,
+                    ))
+                    se = (preds[:, :n] - fields[1:]) ** 2
+                    rmses.append(float(np.sqrt(se.mean(axis=(1, 2))).mean()))
+                return float(np.mean(rmses))
+
+            # Production recipe rolls out at f32 either way (f32 masters).
+            run = {
+                "steps_in_budget": s,
+                "ms_per_step": round(1e3 * wall / max(s, 1), 1),
+                "compile_s": round(compile_s, 1),
+                "final_loss_25": round(float(np.mean(losses[-25:])), 5),
+                "rollout_rmse": rollout_rmse(None),
+            }
+            results["runs"].setdefault(name, []).append(run)
+            print(f"[seed {seed} {name}] {s} steps in {wall:.0f}s "
+                  f"({1e3*wall/max(s,1):.0f} ms/step), rollout RMSE "
+                  f"{run['rollout_rmse']:.4f}", flush=True)
+
+    def stats(name):
+        r = [x["rollout_rmse"] for x in results["runs"][name]]
+        return float(np.mean(r)), float(np.std(r))
+
+    f32_m, f32_s = stats("float32")
+    summary = {"f32_rmse": [round(f32_m, 4), round(f32_s, 4)]}
+    for name, _, _ in variants[1:]:
+        m, sd = stats(name)
+        ratios = [
+            b["rollout_rmse"] / a["rollout_rmse"]
+            for a, b in zip(results["runs"]["float32"], results["runs"][name])
+        ]
+        summary[name] = {
+            "rmse": [round(m, 4), round(sd, 4)],
+            "speedup": round(
+                np.mean([a["ms_per_step"] for a in results["runs"]["float32"]])
+                / np.mean([b["ms_per_step"] for b in results["runs"][name]]),
+                2,
             ),
+            "equal_wall_rmse_ratio_mean": round(float(np.mean(ratios)), 3),
+            "equal_wall_rmse_ratio_per_seed": [round(r, 3) for r in ratios],
         }
-        if dtype == "bfloat16":
-            # Params/normalizers are f32 masters either way, so the trained
-            # model can roll out at f32 — separates inference precision from
-            # training quality (the production recipe: train bf16, serve f32).
-            results[dtype]["rollout_rmse_f32_inference"] = rollout_rmse(None)
-        print(f"[{dtype}] {s} steps in {wall:.0f}s "
-              f"({1e3*wall/max(s,1):.0f} ms/step), rollout RMSE "
-              f"{results[dtype]['rollout_rmse']:.4f}", flush=True)
-
-    f32, b16 = results["float32"], results["bfloat16"]
-    results["summary"] = {
-        "speedup": round(f32["ms_per_step"] / b16["ms_per_step"], 2),
-        "equal_wall_rmse_ratio_bf16_over_f32": round(
-            b16["rollout_rmse"] / f32["rollout_rmse"], 3
-        ),
-        "equal_wall_rmse_ratio_recipe": round(
-            b16["rollout_rmse_f32_inference"] / f32["rollout_rmse"], 3
-        ),
-    }
+    results["summary"] = summary
     out = os.path.join(os.path.dirname(__file__), "out", "bf16_recipe.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

@@ -82,6 +82,11 @@ class ModelConfig:
     # TPU-native knobs.
     aggregation: str = "ell"  # one of {"ell", "segment", "pallas"}
     compute_dtype: str = "float32"  # matmul compute dtype: "float32"|"bfloat16"
+    # Selective precision for the encode/decode MLPs (the normalized I/O
+    # boundary, where quantization couples directly to the predicted delta).
+    # "" = same as compute_dtype; "float32" pins them to full precision
+    # while the processor runs in compute_dtype (bf16 recipe ablation).
+    io_dtype: str = ""
     remat: bool = False  # jax.checkpoint each GMP block (memory vs flops)
     # Selective remat: only checkpoint GMPs on levels with at least this
     # many padded nodes (level sizes halve with depth, so deep levels'

@@ -145,11 +145,24 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
         + (f"_w{cfg.window}" if cfg.window else "")
         + ".json",
     )
+    # Cache validity: count alone is not enough — regenerating a dataset
+    # in place (same file names, different meshes) must invalidate the
+    # plan, or stale bucket dims underfit the new meshes (negative-pad
+    # crash in TrajectoryReader).
+    fingerprint = sorted(
+        (os.path.join(os.path.basename(os.path.dirname(p)),
+                      os.path.basename(p)),
+         os.path.getsize(p), int(os.path.getmtime(p)))
+        for p in all_files
+    )
+    fingerprint = [list(t) for t in fingerprint]
     if os.path.isfile(plan_path):
         with open(plan_path) as f:
             plan = json.load(f)
-        if plan.get("n_files") == len(all_files) and all(
-            "ell_buckets" in g for g in plan.get("groups", [])
+        if (
+            plan.get("n_files") == len(all_files)
+            and plan.get("fingerprint") == fingerprint
+            and all("ell_buckets" in g for g in plan.get("groups", []))
         ):
             return BucketPlan(plan["groups"], plan["file_group"])
 
@@ -233,7 +246,8 @@ def plan_buckets(cfg: DatasetConfig, mode: str = "train") -> BucketPlan:
 
     with open(plan_path, "w") as f:
         json.dump(
-            {"n_files": len(all_files), "groups": groups, "file_group": file_group},
+            {"n_files": len(all_files), "fingerprint": fingerprint,
+             "groups": groups, "file_group": file_group},
             f,
         )
     return BucketPlan(groups, file_group)

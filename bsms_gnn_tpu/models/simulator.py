@@ -122,8 +122,15 @@ def simulator_forward(
         dyn = node_in[..., :wd]
         dyn_dims = (wd,)
 
+    # Selective precision: cfg.io_dtype pins the encode/decode MLPs to a
+    # different dtype than the processor (bf16 recipe: f32 at the
+    # normalized I/O boundary, bf16 through the U-Net).
+    io_cd = compute_dtype
+    if cfg.io_dtype:
+        io_cd = None if cfg.io_dtype == "float32" else jnp.dtype(cfg.io_dtype)
+
     norm_node_in = normalize(norm_in, latent_input)
-    x = mlp_apply(params.encode, norm_node_in, compute_dtype)
+    x = mlp_apply(params.encode, norm_node_in, io_cd)
     x = bsgmp_apply(
         params.process,
         hierarchy,
@@ -135,7 +142,9 @@ def simulator_forward(
         dyn_dims=dyn_dims,
         remat_min_nodes=cfg.remat_min_nodes,
     )
-    norm_pred_delta = mlp_apply(params.decode, x, compute_dtype)
+    if io_cd is None and x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    norm_pred_delta = mlp_apply(params.decode, x, io_cd)
 
     pred_delta = denormalize(norm_out, norm_pred_delta) * node_mask
     c = pred_delta.shape[-1]
