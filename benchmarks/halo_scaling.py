@@ -133,10 +133,12 @@ def main(n_nodes=20000, depth=6, shards=(1, 2, 4, 8), window=512,
 
 if __name__ == "__main__":
     a = [x for x in sys.argv[1:] if not x.startswith("--")]
+    floor = next((int(x.split("=")[1]) for x in sys.argv[1:]
+                  if x.startswith("--floor=")), 0)
     main(
         int(a[0]) if a else 20000,
         int(a[1]) if len(a) > 1 else 6,
-        tuple(int(x) for x in a[2:5]) or (1, 2, 4, 8),
-        replicate_floor=int(a[5]) if len(a) > 5 else 0,
+        tuple(int(x) for x in a[2:]) or (1, 2, 4, 8),
+        replicate_floor=floor,
         force_cpu=("--cpu" in sys.argv),
     )

@@ -68,7 +68,7 @@ def _collective_bytes(hlo_text: str):
 
 
 def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
-         compile_hlo=True, replicate_floor=0):
+         compile_hlo=True, replicate_floor=0, ghost_floor=0):
     from bsms_gnn_tpu.parallel.mesh import ensure_n_devices
 
     jax = ensure_n_devices(max(shards))  # virtual CPU mesh (axon is 1-chip)
@@ -128,6 +128,7 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
         plan = build_partition(
             levels, s, n_pad, pos.astype(np.float64),
             local_layouts=True, window=512, replicate_floor=replicate_floor,
+            ghost_floor=ghost_floor,
         )
         tr = Trainer(cfg)
         loss = float("nan")
@@ -153,15 +154,15 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
         lvl_rows = []
         for l, lvl in enumerate(plan.hierarchy.levels):
             lg = lvl.local
-            e_shards = int(np.sum(np.asarray(lg.senders).shape[-1])) * s \
-                if lg is not None else 0
+            e_pad_l = int(np.asarray(
+                lg.senders if lg is not None else lvl.senders_ext
+            ).shape[-1])
             lvl_rows.append({
                 "level": l,
                 "halo_width": int(lvl.halo_width),
                 "n_loc": int(np.asarray(lvl.deg).shape[-1]),
-                "e_pad_local": (
-                    0 if lg is None else int(np.asarray(lg.senders).shape[-1])
-                ),
+                "e_pad_local": e_pad_l,
+                "ghost": lg is not None,
                 "replicated": bool(lvl.replicated),
             })
         pad_factor = (
@@ -233,4 +234,5 @@ if __name__ == "__main__":
         float(a[2]) if len(a) > 2 else 16.2,
         compile_hlo=("--no-compile" not in sys.argv),
         replicate_floor=int(a[3]) if len(a) > 3 else 0,
+        ghost_floor=int(a[4]) if len(a) > 4 else 0,
     )

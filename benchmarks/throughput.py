@@ -78,18 +78,115 @@ def measure(batches, n_nodes=5233, depth=7):
             "rows": rows}
 
 
+def measure_union(batches, n_nodes=5233, depth=7, window=512):
+    """Union batching (graph/bistride.py::replicate_levels): B disjoint
+    copies of the mesh as ONE hierarchy, single-mesh kernels with B·N rows
+    — batch lands on the kernel row axis instead of a vmap replay. The
+    union crosses the windowed kernels' profitability threshold as B·N
+    grows, so it runs the production windowed/fused path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data.synthetic import make_graded_airfoil_mesh
+    from bsms_gnn_tpu.graph.bistride import (
+        build_bistride_levels,
+        replicate_levels,
+    )
+    from bsms_gnn_tpu.graph.hierarchy import pad_levels
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.graph.order import reorder_mesh
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+    from bsms_gnn_tpu.utils.timing import pipelined_timeit
+
+    cfg = load_config([
+        f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+        "model.aggregation=fused",
+    ])
+    rng = np.random.default_rng(0)
+    pos, cells, node_type = make_graded_airfoil_mesh(n_nodes, rng)
+    pos, cells, (node_type,), _ = reorder_mesh(pos, cells, (node_type,))
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    levels1 = build_bistride_levels(edges, depth, n, pos.astype(np.float64))
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+
+    c, pd = cfg.model.out_dim, cfg.model.pos_dim
+    sample = np.zeros((n, c + pd + 1), np.float32)
+    sample[:, :c] = rng.standard_normal((n, c))
+    sample[:, c:c + pd] = pos
+    sample[:, -1:] = node_type
+
+    from bench import _dense_flops
+
+    rows = []
+    for B in batches:
+        levels_b = replicate_levels(levels1, B) if B > 1 else levels1
+        pos_b = np.tile(pos.astype(np.float64), (B, 1))
+        h = pad_levels(levels_b, 128, pos=pos_b, edge_block=512,
+                       window=window)
+        n_pad = h.levels[0].n_pad_nodes
+        ni = np.zeros((n_pad, c + pd + 1), np.float32)
+        ni[:B * n] = np.tile(sample, (B, 1))
+        mask = np.zeros((n_pad, 1), np.float32)
+        mask[:B * n] = 1.0
+        ni, mask = jnp.asarray(ni), jnp.asarray(mask)
+        flops1 = _dense_flops(cfg.model, h) / B
+        for dtype, label in ((jnp.bfloat16, "bf16"),):
+            fwd = jax.jit(
+                lambda a, b, hh=h, dt=dtype: simulator_forward(
+                    state.params, state.norm_in, state.norm_out, hh, a, b,
+                    cfg.model, dt,
+                )
+            )
+            out = fwd(ni, mask)
+            assert np.all(np.isfinite(np.asarray(out[: min(64, n)])))
+            t = min(
+                pipelined_timeit(lambda: fwd(ni, mask), steps=30, warmup=3)
+                for _ in range(3)
+            )
+            tflops = B * flops1 / t / 1e12
+            rows.append({
+                "batch": B, "dtype": label, "mode": "union",
+                "ms_per_step": round(1e3 * t, 3),
+                "meshes_per_s": round(B / t, 1),
+                "ms_per_mesh": round(1e3 * t / B, 4),
+                "dense_tflops": round(tflops, 2),
+                "mfu_vs_bf16_peak": round(tflops / PEAK_TFLOPS, 4),
+            })
+            print(
+                f"UNION B={B:3d} {label:4s}  "
+                f"{rows[-1]['ms_per_step']:8.3f} ms/step"
+                f"  {rows[-1]['meshes_per_s']:8.1f} meshes/s"
+                f"  {rows[-1]['ms_per_mesh']:7.3f} ms/mesh"
+                f"  {rows[-1]['dense_tflops']:6.2f} TFLOP/s"
+                f"  MFU {rows[-1]['mfu_vs_bf16_peak']:.1%}",
+                flush=True,
+            )
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,16,32")
     ap.add_argument("--n-nodes", type=int, default=5233)
     ap.add_argument("--depth", type=int, default=7)
+    ap.add_argument("--union", action="store_true",
+                    help="also run the union-batched path (appends rows)")
+    ap.add_argument("--union-only", action="store_true")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
     from bsms_gnn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    out = measure(batches, args.n_nodes, args.depth)
+    if args.union_only:
+        out = {"n_nodes": args.n_nodes, "depth": args.depth,
+               "rows": measure_union(batches, args.n_nodes, args.depth)}
+    else:
+        out = measure(batches, args.n_nodes, args.depth)
+        if args.union:
+            out["rows"] += measure_union(batches, args.n_nodes, args.depth)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out",
                         "throughput.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)

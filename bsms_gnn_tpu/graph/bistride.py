@@ -113,6 +113,35 @@ def flat_edge_lists(levels: BistrideLevels) -> Tuple[List[np.ndarray], List[np.n
     return [g.flat_edges for g in levels.graphs], list(levels.ids)
 
 
+def replicate_levels(levels: BistrideLevels, b: int) -> BistrideLevels:
+    """Disjoint union of `b` copies of a hierarchy — batched serving with
+    batch rows ON the kernel row axis.
+
+    The [B, N, C] batched forward replays the per-mesh kernels per sample
+    (vmap), so per-chunk overheads multiply by B and the step goes
+    bandwidth-bound past B≈16 (PARITY.md "Batched serving throughput").
+    Tiling every level's edge set and kept-id list with per-copy node
+    offsets instead yields ONE mesh with B·N nodes: the single-mesh
+    windowed/fused kernels then run with B-amortized chunk overheads and
+    B·N-row matmuls. Transition weights, smoothed positions, and bi-stride
+    structure are per-copy identical by construction (all three are local
+    graph functions). Inputs flatten to [B·N_real ; pad] row layout."""
+    graphs = [
+        CsrGraph(
+            np.concatenate(
+                [g.flat_edges + i * g.num_nodes for i in range(b)], axis=1
+            ),
+            g.num_nodes * b,
+        )
+        for g in levels.graphs
+    ]
+    ids = [
+        np.concatenate([k + i * levels.graphs[l].num_nodes for i in range(b)])
+        for l, k in enumerate(levels.ids)
+    ]
+    return BistrideLevels(graphs=graphs, ids=ids)
+
+
 def transition_edge_weights(levels: BistrideLevels) -> List[np.ndarray]:
     """Per-level transition edge weights `ec`, precomputed offline.
 

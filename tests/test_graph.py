@@ -244,3 +244,67 @@ def test_hierarchy_buckets():
         assert g.n_pad_nodes == node_buckets[l]
         assert g.n_pad_edges == edge_buckets[l]
         assert g.edge_mask.sum() == g.n_edges
+
+
+def test_replicate_levels_union_matches_batched_forward():
+    """graph/bistride.py::replicate_levels: the B-copy disjoint-union
+    hierarchy run flat ([B*N_real ; pad] rows) must reproduce the
+    [B, N_pad, C] batched forward per copy (the union serving path,
+    benchmarks/throughput.py --union)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import make_grid_mesh
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.graph.bistride import (
+        build_bistride_levels,
+        replicate_levels,
+    )
+    from bsms_gnn_tpu.graph.hierarchy import pad_levels
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+
+    cfg = load_config([
+        "model.unet_depth=2", "model.latent_dim=16", "model.hidden_layer=1",
+    ])
+    pos, cells = make_grid_mesh(7, 7)
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    levels = build_bistride_levels(edges, 2, n, pos)
+    h1 = pad_levels(levels, pad_multiple=32, pos=pos)
+    b = 3
+    hb = pad_levels(replicate_levels(levels, b), pad_multiple=32,
+                    pos=np.tile(pos, (b, 1)))
+
+    rng = np.random.default_rng(0)
+    c = cfg.model.out_dim
+    sample = np.zeros((b, n, c + 3), np.float32)
+    sample[..., :c] = rng.standard_normal((b, n, c))
+    sample[..., c:c + 2] = pos
+
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+
+    # batched reference: [B, N_pad, C]
+    n_pad1 = h1.levels[0].n_pad_nodes
+    ni = np.zeros((b, n_pad1, c + 3), np.float32)
+    ni[:, :n] = sample
+    mask = np.zeros((b, n_pad1, 1), np.float32)
+    mask[:, :n] = 1.0
+    ref = np.asarray(simulator_forward(
+        state.params, state.norm_in, state.norm_out, h1,
+        jnp.asarray(ni), jnp.asarray(mask), cfg.model,
+    ))
+
+    # union: [B*N_real ; pad] rows
+    n_padb = hb.levels[0].n_pad_nodes
+    niu = np.zeros((n_padb, c + 3), np.float32)
+    niu[:b * n] = sample.reshape(b * n, -1)
+    masku = np.zeros((n_padb, 1), np.float32)
+    masku[:b * n] = 1.0
+    got = np.asarray(simulator_forward(
+        state.params, state.norm_in, state.norm_out, hb,
+        jnp.asarray(niu), jnp.asarray(masku), cfg.model,
+    ))[:b * n].reshape(b, n, -1)
+
+    np.testing.assert_allclose(got, ref[:, :n], rtol=1e-5, atol=1e-6)
