@@ -47,7 +47,7 @@ def _cfg(**model_kw):
 
 
 def _setup(n_shards=4, local_layouts=False, window=0, replicate_floor=0,
-           **model_kw):
+           ghost_floor=0, **model_kw):
     cfg = _cfg(**model_kw)
     pos, cells = make_grid_mesh(9, 9)
     edges = to_flat_edge(cells, "tri")
@@ -57,7 +57,8 @@ def _setup(n_shards=4, local_layouts=False, window=0, replicate_floor=0,
     n_pad = h.levels[0].n_pad_nodes
     plan = build_partition(levels, n_shards, n_pad, pos, block=32,
                            local_layouts=local_layouts, window=window,
-                           replicate_floor=replicate_floor)
+                           replicate_floor=replicate_floor,
+                           ghost_floor=ghost_floor)
 
     rng = np.random.default_rng(3)
     node_in = np.zeros((n_pad, OUT + 3), np.float32)
@@ -438,6 +439,54 @@ def test_replicated_fused_forward_matches_single_device():
         )
     )
     np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-3, atol=2e-4)
+
+
+def test_ghost_floor_mixed_forward_and_train_matches_single_device():
+    """ghost_floor: shallow levels keep the ghost-edge kernel layout while
+    deep (near-dense) levels use the plain halo layout — the production
+    S=8 configuration at 1M (PARITY.md round-4 scaling section). Forward
+    AND a 3-step train trajectory must match the single-device model."""
+    cfg, h, plan, n, node_in, node_tar, mask = _setup(
+        local_layouts=True, ghost_floor=45
+    )
+    levels = plan.hierarchy.levels
+    assert levels[0].local is not None  # shallow: ghost layout
+    assert levels[-1].local is None  # deep: plain halo layout
+    tr = Trainer(cfg)
+    mesh = make_mesh(1, 4)
+    fwd = make_halo_forward(tr, mesh, plan)
+    pred_sh = fwd(
+        tr.state.sim,
+        jnp.asarray(partition_nodes(plan, node_in)),
+        jnp.asarray(partition_nodes(plan, mask)),
+    )
+    pred_halo = unpartition_nodes(plan, np.asarray(pred_sh))
+    pred_ref = np.asarray(
+        simulator_forward(
+            tr.state.sim.params, tr.state.sim.norm_in, tr.state.sim.norm_out,
+            h, jnp.asarray(node_in), jnp.asarray(mask), cfg.model,
+        )
+    )
+    np.testing.assert_allclose(pred_halo[:n], pred_ref[:n], rtol=2e-4, atol=1e-5)
+
+    tr_ref = Trainer(cfg)
+    key = jax.random.PRNGKey(5)
+    losses_ref = [
+        float(tr_ref.iter(h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                          jnp.asarray(mask), jax.random.fold_in(key, i)))
+        for i in range(3)
+    ]
+    tr2 = Trainer(cfg)
+    step = make_halo_train_step(tr2, mesh, plan)
+    state = tr2.state
+    ni = jnp.asarray(partition_nodes(plan, node_in))
+    nt = jnp.asarray(partition_nodes(plan, node_tar))
+    nm = jnp.asarray(partition_nodes(plan, mask))
+    losses = []
+    for i in range(3):
+        state, loss = step(state, ni, nt, nm, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-4)
 
 
 @pytest.mark.parametrize("n_shards,floor", [(2, 25), (4, 45), (8, 25)])
