@@ -80,11 +80,22 @@ def _build(kind: str, n_nodes: int, depth: int):
 
     rng = np.random.default_rng(0)
     if kind == "airfoil":
+        # Windowed fused aggregation (Morton order + W=256, eb=512): the
+        # round-4 method sweep (benchmarks/out/method_5k.log) has it
+        # matching plain pallas at f32 (4.12 vs 4.16 ms) and 1.36x faster
+        # at bf16 (2.34 vs 3.18 ms) at this size.
         cfg = load_config([
             f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
-            "model.aggregation=pallas",
+            "model.aggregation=fused",
         ])
         pos, cells, node_type = make_graded_airfoil_mesh(n_nodes, rng)
+        from bsms_gnn_tpu.graph.order import reorder_mesh
+
+        pos, cells, (node_type,), _ = reorder_mesh(pos, cells, (node_type,))
+        edges = to_flat_edge(cells, "tri")
+        h = build_hierarchy(edges, depth, pos.shape[0],
+                            pos.astype(np.float64), edge_block=512,
+                            window=256)
     else:  # inflating surface, world-space edges
         cfg = load_config([
             "datasets=inflating_font", "model=inflating_font",
@@ -92,8 +103,8 @@ def _build(kind: str, n_nodes: int, depth: int):
             "model.aggregation=pallas",
         ])
         pos, cells, node_type = make_sphere_mesh(n_nodes, rng)
-    edges = to_flat_edge(cells, "tri")
-    h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))
+        edges = to_flat_edge(cells, "tri")
+        h = build_hierarchy(edges, depth, pos.shape[0], pos.astype(np.float64))
 
     # Mesh-comparability stats (VERDICT r2 weak #4): for any closed 2-D
     # triangulation Euler's formula forces E_undirected ≈ 3N (mean degree
