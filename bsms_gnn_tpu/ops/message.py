@@ -27,6 +27,16 @@ from bsms_gnn_tpu.ops.scatter import (
 )
 
 
+def _split_interleave(method: str):
+    """`"fusedK"` (e.g. "fused2") selects the K-way chunk-interleaved v5
+    kernel pair on windowed layouts (ops/pallas/fused_gmp.py, round-5
+    kernel-wall probe); returns (base_method, K). Everything else passes
+    through with K=1."""
+    if method.startswith("fused") and method[5:].isdigit():
+        return "fused", int(method[5:])
+    return method, 1
+
+
 @struct.dataclass
 class GMPParams:
     mlp_edge: MLPParams
@@ -80,6 +90,7 @@ def gmp_apply(
     and the wide [E, 2C+pd1] / [N, 2C] concatenations never hit HBM."""
     from bsms_gnn_tpu.ops.dense import dense, mlp_apply_tail
 
+    method, ilk = _split_interleave(method)
     c = x.shape[-1]
     static_fiber = level.fiber
     sfw = static_fiber.shape[-1]
@@ -233,6 +244,7 @@ def gmp_apply(
         from bsms_gnn_tpu.ops.pallas.fused_gmp import (
             fused_edge_phase,
             fused_edge_phase_win,
+            fused_edge_phase_win_k,
         )
 
         xj = dense(x, wj, 0.0, compute_dtype)
@@ -249,10 +261,17 @@ def gmp_apply(
             .at[:sfw].set(wf)
             .at[sfw].set(params.mlp_edge.biases[0])
         )
-        aggr = fused_edge_phase_win(
-            level, xwi, xj, wf8,
-            params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
-        )
+        if ilk > 1:
+            aggr = fused_edge_phase_win_k(
+                level, xwi, xj, wf8,
+                params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
+                ilk,
+            )
+        else:
+            aggr = fused_edge_phase_win(
+                level, xwi, xj, wf8,
+                params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
+            )
         if aggr is not None and level.resid is not None:
             acc = None
             if level.cresid is not None:
@@ -492,6 +511,7 @@ def cal_ew(level: LevelGraph, w, method: str = "ell"):
 
     w: [N_pad, 1] node weights. Returns (ec [E_pad], aggr_w [N_pad, 1]).
     """
+    method, _ = _split_interleave(method)
     if method.startswith("halo:") and getattr(level, "local", None) is not None:
         raise NotImplementedError(
             "runtime cal_ew is not supported on ghost halo layouts — the "
@@ -674,6 +694,7 @@ def edge_conv_down(level: LevelGraph, x, ew=None, method: str = "ell"):
     `ew=None` means "the level's own transition weights" (the model's case)
     and additionally unlocks the windowed gather-free kernel on layouts
     built with `window` > 0."""
+    method, _ = _split_interleave(method)
     if method.startswith("halo:") and getattr(level, "local", None) is not None:
         # Ghost-edge halo layout: the generic gather/aggregate composition
         # is invalid there (gather_recv is ghost-clamped) — use the
@@ -695,6 +716,7 @@ def edge_conv_down(level: LevelGraph, x, ew=None, method: str = "ell"):
 def edge_conv_up(level: LevelGraph, x, ew=None, method: str = "ell"):
     """Returning pass (ref aggragating=False): msg = x[receivers] · ew,
     summed at senders."""
+    method, _ = _split_interleave(method)
     if method.startswith("halo:") and getattr(level, "local", None) is not None:
         assert ew is None, "halo ghost layouts precompute ew offline"
         from bsms_gnn_tpu.parallel import halo

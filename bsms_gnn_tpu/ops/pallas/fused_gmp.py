@@ -1257,3 +1257,427 @@ def fused_edge_mlp_aggregate(level, pre, weights: Tuple, biases: Tuple
             level, pre, w_stack, b_stack
         )
     return run(level, pre, w_stack, b_stack)
+
+
+# ---------------------------------------------------------------------------
+# v5: K-way chunk-interleaved windowed kernel (round-5 "kernel wall" probe).
+#
+# The r4 irreducibility dossier (PARITY.md "Kernel wall") pinned the
+# remaining per-chunk cost on MXU pipeline occupancy of the sequential
+# in-chunk dot chain plus ~450 ns fixed per-chunk overhead. Both terms
+# divide by K if one grid step carries K INDEPENDENT 512-edge chunks:
+# the K selection/scatter chains interleave (VPU one-hot materialization
+# of chunk s+1 overlaps the MXU dots of chunk s), the tail MLP runs on the
+# stacked [K*be, C] rows (deeper MXU pipeline fill per dot), and the grid
+# is K-fold shorter. The edge layout is UNCHANGED — chunks stay `be` edges
+# (this is not eb=1024: no extra padding).
+#
+# Stream decomposition: the chunk list splits into K static contiguous
+# ranges of M = ceil(nc/K) chunks. Receiver blocks are monotone over the
+# chunk list, so each stream's visited output blocks form a contiguous
+# range; each stream accumulates into its own [N_pad, C] output under its
+# own first-visit flags, and the caller sums the K outputs under
+# visited-range masks — a block on a stream boundary is visited by both
+# neighbours, whose partial sums add to the exact total, while blocks
+# outside a stream's range (undefined memory) are masked away. Streams
+# shorter than M repeat their last chunk with live=0 (the scatter masks
+# them to an exact zero contribution).
+# ---------------------------------------------------------------------------
+
+
+def _chunk_tables5(level, k: int):
+    """Per-stream (ci, cb, wb, first, live) scalar-prefetch tables plus the
+    per-stream visited block ranges, all shape-static for k streams."""
+    cb_all, _, recv_packed = _chunk_tables(level)
+    be = getattr(level, "edge_block", 128)
+    nc = level.n_pad_edges // be
+    m = -(-nc // k)
+    wb_all = jnp.asarray(level.win_base).astype(jnp.int32)
+    tabs, vis = [], []
+    for s in range(k):
+        idx = jnp.arange(m, dtype=jnp.int32) + s * m
+        live = (idx < nc).astype(jnp.int32)
+        ci = jnp.minimum(idx, nc - 1)
+        cb = cb_all[ci]
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (cb[1:] != cb[:-1]).astype(jnp.int32)]
+        )
+        wb = wb_all[ci]
+        tabs.extend([ci, cb, wb, first, live])
+        vis.append((cb[0], cb[m - 1]))
+    return tabs, vis, recv_packed
+
+
+def _make_fwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int):
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(*args):
+        ns = 5 * k
+        scal = args[:ns]
+        ins = args[ns:ns + 6 * k]
+        wf8_ref, w_ref, b_ref = args[ns + 6 * k:ns + 6 * k + 3]
+        outs = args[ns + 6 * k + 3:]
+        i = pl.program_id(0)
+        c = outs[0].shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+        pres, masks = [], []
+        for s in range(k):
+            ci_r, cb_r, wb_r, first_r, live_r = scal[5 * s:5 * s + 5]
+            fib_r, xwia_r, xwib_r, xj_r, sw_r, recv_r = ins[6 * s:6 * s + 6]
+
+            @pl.when(first_r[i] == 1)
+            def _(o=outs[s]):
+                o[:] = jnp.zeros_like(o)
+
+            row = jax.lax.rem(ci_r[i], 8)
+            sw = sw_r[pl.ds(row, 1), :]
+            oh_a = (iota_w == sw).astype(jnp.bfloat16)
+            oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+            sel = _select(oh_a, xwia_r[:], f32_mode, c, be) + _select(
+                oh_b, xwib_r[:], f32_mode, c, be
+            )
+            r_local = recv_r[pl.ds(row, 1), :] - cb_r[i] * BN
+            onehot = (node_iota == r_local).astype(jnp.float32)
+            zj = _dot_t(onehot, xj_r[:].astype(jnp.float32), op_dtype)
+            fib = _dot_t(fib_r[:].astype(jnp.float32), wf8_ref[:], op_dtype)
+            pres.append(fib + sel + zj)
+            keep = jnp.logical_and(live_r[i] == 1, sw < 2 * wh)
+            masks.append(jnp.where(keep, onehot, 0.0))
+        stacked = jnp.concatenate(pres, axis=0) if k > 1 else pres[0]
+        e = _mlp_chunk_fwd(stacked, w_ref, b_ref, n_layers, op_dtype)
+        for s in range(k):
+            outs[s][:] += _dot(masks[s], e[s * be:(s + 1) * be], op_dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_fwd5(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, be: int, wh: int, k: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nc = e_pad // be
+    m = -(-nc // k)
+    in_specs = []
+    for s in range(k):
+        in_specs += [
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (0, t[5 * s][i])),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), (lambda i, *t, s=s: (t[5 * s + 2][i], 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c),
+                         (lambda i, *t, s=s: (t[5 * s + 2][i] + 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), (lambda i, *t, s=s: (t[5 * s + 1][i], 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (t[5 * s][i] // 8, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (t[5 * s][i] // 8, 0)),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5 * k,
+        grid=(m,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((BN, c), (lambda i, *t, s=s: (t[5 * s + 1][i], 0)),
+                         memory_space=pltpu.VMEM)
+            for s in range(k)
+        ],
+    )
+    return pl.pallas_call(
+        _make_fwd5_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, k),
+        out_shape=[jax.ShapeDtypeStruct((n_pad, c), jnp.float32)] * k,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def _combine_streams(outs, vis, n_pad: int):
+    """Sum per-stream partial outputs under their visited-block-range
+    masks (see module comment: boundary blocks add, dead memory masks)."""
+    blocks = jnp.arange(n_pad // BN, dtype=jnp.int32)
+    total = None
+    for out, (lo, hi) in zip(outs, vis):
+        mask = jnp.repeat((blocks >= lo) & (blocks <= hi), BN)[:, None]
+        term = jnp.where(mask, out, 0.0)
+        total = term if total is None else total + term
+    return total
+
+
+def fused_edge_phase_win_k(level, xwi, xj, wf8, weights: Tuple,
+                           biases: Tuple, k: int = 2
+                           ) -> Optional[jax.Array]:
+    """K-way interleaved v3 edge phase (forward + fused backward): same
+    contract as `fused_edge_phase_win` (windowed part only; the caller adds
+    the residual layout), with K chunks per grid step. k=1 falls back to
+    the v3 pair."""
+    if k <= 1:
+        return fused_edge_phase_win(level, xwi, xj, wf8, weights, biases)
+    from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
+
+    if not supported(level, xwi, weights) or not win_supported(level, xwi):
+        return None
+    if getattr(level, "fiber_t", None) is None or level.fiber_t.ndim != 2:
+        return None
+    if getattr(level, "skip_empty", False):
+        return None
+    c = xwi.shape[-1]
+    if xwi.shape[-2] != level.n_pad_nodes:
+        return None
+    if xj.shape[-2:] != (level.n_pad_nodes, c):
+        return None
+    if wf8.shape != (8, c):
+        return None
+
+    n_layers = len(weights)
+    interpret = jax.default_backend() != "tpu"
+    e_pad, n_pad = level.n_pad_edges, level.n_pad_nodes
+    be = getattr(level, "edge_block", 128)
+    wh = level.window // 2
+    op_dtype = "bfloat16" if xwi.dtype == jnp.bfloat16 else "float32"
+    pre_dtype = jnp.dtype(xwi.dtype).name if op_dtype == "bfloat16" else "float32"
+    w_stack = jnp.stack([w.astype(jnp.float32) for w in weights])
+    b_stack = jnp.stack([b.astype(jnp.float32) for b in biases])
+    wf8_32 = wf8.astype(jnp.float32)
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _pack_rows
+
+    def _tables(lvl):
+        tabs, vis, recv = _chunk_tables5(lvl, k)
+        sw = _pack_rows(lvl.send_win.astype(jnp.int32), be, e_pad // be,
+                        lvl.window)
+        return tabs, vis, sw, recv
+
+    def _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack):
+        tabs, vis, sw, recv = _tables(lvl)
+        call = _get_fwd5(e_pad, n_pad, c, n_layers, interpret, op_dtype, be,
+                         wh, k)
+        xw = xwi.astype(pre_dtype)
+        fib = lvl.fiber_t.astype(pre_dtype)
+        xjt = xj.astype(pre_dtype)
+        stream_ins = []
+        for _ in range(k):
+            stream_ins += [fib, xw, xw, xjt, sw, recv]
+        outs = call(*tabs, *stream_ins, wf8, w_stack, b_stack)
+        return _combine_streams(outs, vis, n_pad)
+
+    @jax.custom_vjp
+    def run(lvl, xwi, xj, wf8, w_stack, b_stack):
+        return _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack)
+
+    def fwd(lvl, xwi, xj, wf8, w_stack, b_stack):
+        out = _raw_forward(lvl, xwi, xj, wf8, w_stack, b_stack)
+        return out, (lvl, xwi, xj, wf8, w_stack, b_stack)
+
+    def bwd(res, g):
+        lvl, xwi, xj, wf8, w_stack, b_stack = res
+        tabs, vis, sw, recv = _tables(lvl)
+        call = _get_bwd5(e_pad, n_pad, c, n_layers, interpret, op_dtype,
+                         pre_dtype, be, wh, k)
+        xw = xwi.astype(pre_dtype)
+        fib = lvl.fiber_t.astype(pre_dtype)
+        xjt = xj.astype(pre_dtype)
+        g32 = g.astype(jnp.float32)
+        stream_ins = []
+        for _ in range(k):
+            stream_ins += [fib, xw, xw, xjt, sw, recv, g32]
+        res_out = call(*tabs, *stream_ins, wf8, w_stack, b_stack)
+        dpres = res_out[:k]
+        dxjs = res_out[k:2 * k]
+        dwf8, dw, db = res_out[2 * k:]
+        dxj = _combine_streams(dxjs, vis, n_pad)
+        # dpre streams are disjoint chunk ranges of the SAME [E_pad, C]
+        # slot space; reassemble by static concatenation (dead tail slots
+        # carry zero dpre — their scatter mask zeroed the whole chain).
+        nc = e_pad // be
+        m = -(-nc // k)
+        parts = []
+        for s in range(k):
+            lo = s * m * be
+            hi = min((s + 1) * m, nc) * be
+            if hi > lo:
+                parts.append(dpres[s][: hi - lo])
+        dpre = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+        from bsms_gnn_tpu.ops.pallas.windowed import windowed_send_sum_raw
+
+        dxwi = windowed_send_sum_raw(lvl, dpre)
+        if dxwi is None:
+            from bsms_gnn_tpu.ops.pallas.segment_sum import (
+                segment_sum_raw as _ssr,
+            )
+
+            dxwi = _ssr(lvl, jnp.take(dpre, lvl.reverse_perm, axis=-2))
+        return (None, dxwi.astype(xwi.dtype), dxj.astype(xj.dtype),
+                dwf8.astype(wf8.dtype), dw, db)
+
+    run.defvjp(fwd, bwd)
+    axes = tuple(0 if a.ndim == 3 else None for a in (xwi, xj))
+    if any(ax == 0 for ax in axes):
+        return jax.vmap(run, in_axes=(None, *axes, None, None, None))(
+            level, xwi, xj, wf8_32, w_stack, b_stack
+        )
+    return run(level, xwi, xj, wf8_32, w_stack, b_stack)
+
+
+def _make_bwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int):
+    """K-way interleaved v3 backward: per-stream recompute + per-stream
+    node-cotangent scatter, with ONE stacked [K*be, C] tail transpose chain
+    and shared dW/db/dwf8 VMEM accumulators. Dead (live=0) repeats get a
+    zero edge cotangent, which zeroes their whole chain — no double count."""
+    import jax.experimental.pallas as pl
+
+    from bsms_gnn_tpu.ops.pallas.windowed import _select
+
+    def kernel(*args):
+        ns = 5 * k
+        scal = args[:ns]
+        ins = args[ns:ns + 7 * k]
+        wf8_ref, w_ref, b_ref = args[ns + 7 * k:ns + 7 * k + 3]
+        rest = args[ns + 7 * k + 3:]
+        dpre_refs = rest[:k]
+        dxj_refs = rest[k:2 * k]
+        dwf8_ref, dw_ref, db_ref = rest[2 * k:2 * k + 3]
+        dw_acc, db_acc, dwf8_acc = rest[2 * k + 3:]
+        i = pl.program_id(0)
+        nc_g = pl.num_programs(0)
+        c = dxj_refs[0].shape[-1]
+        f32_mode = op_dtype != jnp.bfloat16
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wh, be), 0)
+        node_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, be), 0)
+
+        @pl.when(i == 0)
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
+            dwf8_acc[:] = jnp.zeros_like(dwf8_acc)
+
+        pres, onehots, gs, fibts = [], [], [], []
+        for s in range(k):
+            ci_r, cb_r, wb_r, first_r, live_r = scal[5 * s:5 * s + 5]
+            (fib_r, xwia_r, xwib_r, xj_r, sw_r, recv_r,
+             g_node_r) = ins[7 * s:7 * s + 7]
+
+            @pl.when(first_r[i] == 1)
+            def _(o=dxj_refs[s]):
+                o[:] = jnp.zeros_like(o)
+
+            row = jax.lax.rem(ci_r[i], 8)
+            sw = sw_r[pl.ds(row, 1), :]
+            oh_a = (iota_w == sw).astype(jnp.bfloat16)
+            oh_b = (iota_w == (sw - wh)).astype(jnp.bfloat16)
+            sel = _select(oh_a, xwia_r[:], f32_mode, c, be) + _select(
+                oh_b, xwib_r[:], f32_mode, c, be
+            )
+            r_local = recv_r[pl.ds(row, 1), :] - cb_r[i] * BN
+            onehot = (node_iota == r_local).astype(jnp.float32)
+            keep = jnp.logical_and(live_r[i] == 1, sw < 2 * wh)
+            masked = jnp.where(keep, onehot, 0.0)
+            zj = _dot_t(onehot, xj_r[:].astype(jnp.float32), op_dtype)
+            fibt = fib_r[:].astype(jnp.float32)
+            fib = _dot_t(fibt, wf8_ref[:], op_dtype)
+            pres.append(fib + sel + zj)
+            onehots.append(onehot)
+            fibts.append(fibt)
+            gs.append(_dot_t(masked, g_node_r[:].astype(jnp.float32),
+                             op_dtype))
+
+        pre = jnp.concatenate(pres, axis=0) if k > 1 else pres[0]
+        g = jnp.concatenate(gs, axis=0) if k > 1 else gs[0]
+        fibt_all = jnp.concatenate(fibts, axis=1) if k > 1 else fibts[0]
+        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
+                                              op_dtype)
+        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
+                              op_dtype, dw_acc, db_acc)
+        dwf8_acc[:] += _dot(fibt_all, dpre, op_dtype)
+        for s in range(k):
+            dpre_s = dpre[s * be:(s + 1) * be]
+            dpre_refs[s][:] = dpre_s.astype(dpre_refs[s].dtype)
+            dxj_refs[s][:] += _dot(onehots[s], dpre_s, op_dtype)
+
+        @pl.when(i == nc_g - 1)
+        def _():
+            dw_ref[:] = dw_acc[:]
+            db_ref[:] = db_acc[:]
+            dwf8_ref[:] = dwf8_acc[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bwd5(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
+              op_dtype_name: str, pre_dtype_name: str, be: int, wh: int,
+              k: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nc = e_pad // be
+    m = -(-nc // k)
+    in_specs = []
+    for s in range(k):
+        in_specs += [
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (0, t[5 * s][i])),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c), (lambda i, *t, s=s: (t[5 * s + 2][i], 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, c),
+                         (lambda i, *t, s=s: (t[5 * s + 2][i] + 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), (lambda i, *t, s=s: (t[5 * s + 1][i], 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (t[5 * s][i] // 8, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, be), (lambda i, *t, s=s: (t[5 * s][i] // 8, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, c), (lambda i, *t, s=s: (t[5 * s + 1][i], 0)),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    out_specs = [
+        pl.BlockSpec((be, c), (lambda i, *t: (i, 0)),
+                     memory_space=pltpu.VMEM)
+        for _ in range(k)
+    ] + [
+        pl.BlockSpec((BN, c), (lambda i, *t, s=s: (t[5 * s + 1][i], 0)),
+                     memory_space=pltpu.VMEM)
+        for s in range(k)
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5 * k,
+        grid=(m,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, c, c), jnp.float32),
+            pltpu.VMEM((n_layers, c), jnp.float32),
+            pltpu.VMEM((8, c), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_bwd5_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, k),
+        out_shape=(
+            [jax.ShapeDtypeStruct((m * be, c), jnp.dtype(pre_dtype_name))
+             for _ in range(k)]
+            + [jax.ShapeDtypeStruct((n_pad, c), jnp.float32)
+               for _ in range(k)]
+            + [jax.ShapeDtypeStruct((8, c), jnp.float32),
+               jax.ShapeDtypeStruct((n_layers, c, c), jnp.float32),
+               jax.ShapeDtypeStruct((n_layers, c), jnp.float32)]
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )

@@ -955,3 +955,69 @@ def test_choose_windows_auto_cache_roundtrip(tmp_path):
         )
         n = lw.n_nodes
         np.testing.assert_allclose(a[:n], b[:n], rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+@pytest.mark.parametrize("morton", [True, False])
+def test_fused_v5_interleaved_matches_v3(morton, k):
+    """K-way chunk-interleaved fused edge phase (v5) equals the v3 pair —
+    forward and all gradients (x, wf8, tail weights/biases) — including
+    stream-boundary blocks (visited by two streams) and the dead-repeat
+    tail of the last stream."""
+    import functools
+
+    from bsms_gnn_tpu.ops.pallas.fused_gmp import (
+        fused_edge_phase_win,
+        fused_edge_phase_win_k,
+    )
+    from bsms_gnn_tpu.ops.message import init_gmp
+
+    h_w, _ = _setup(morton=morton)
+    lw = h_w.levels[0]
+    rng = np.random.default_rng(7)
+    c = C
+    xwi = _rand_x(lw, seed=5)
+    xj = _rand_x(lw, seed=8)
+    wf8 = jnp.asarray(rng.standard_normal((8, c)).astype(np.float32))
+    ws = tuple(
+        jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+        for _ in range(3)
+    )
+    bs = tuple(
+        jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.05)
+        for _ in range(3)
+    )
+    cot = _rand_x(lw, seed=9)
+
+    out3 = np.asarray(jax.jit(
+        lambda a, b, w: fused_edge_phase_win(lw, a, b, w, ws, bs)
+    )(xwi, xj, wf8))
+    out5 = np.asarray(jax.jit(
+        lambda a, b, w: fused_edge_phase_win_k(lw, a, b, w, ws, bs, k)
+    )(xwi, xj, wf8))
+    n = lw.n_nodes
+    np.testing.assert_allclose(out5[:n], out3[:n], rtol=2e-5, atol=2e-5)
+
+    def loss(fn, a, b, w, ws, bs):
+        return jnp.vdot(fn(lw, a, b, w, ws, bs), cot)
+
+    g3 = jax.jit(jax.grad(
+        functools.partial(loss, fused_edge_phase_win), argnums=(0, 1, 2, 3, 4)
+    ))(xwi, xj, wf8, ws, bs)
+    g5 = jax.jit(jax.grad(
+        functools.partial(
+            loss, lambda lvl, a, b, w, ws, bs:
+            fused_edge_phase_win_k(lvl, a, b, w, ws, bs, k)
+        ), argnums=(0, 1, 2, 3, 4)
+    ))(xwi, xj, wf8, ws, bs)
+    for t3, t5 in zip(jax.tree.leaves(g3), jax.tree.leaves(g5)):
+        np.testing.assert_allclose(
+            np.asarray(t5)[:n] if t5.shape[:1] == (lw.n_pad_nodes,)
+            else np.asarray(t5),
+            np.asarray(t3)[:n] if t3.shape[:1] == (lw.n_pad_nodes,)
+            else np.asarray(t3),
+            # dW accumulates O(nc) chunk outer products whose order differs
+            # between the stacked (v5) and per-chunk (v3) tail chains —
+            # pure f32 rounding, values O(100).
+            rtol=2e-3, atol=5e-4,
+        )
