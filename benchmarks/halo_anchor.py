@@ -1,0 +1,215 @@
+"""Sequential-per-shard TPU anchor for the scaling model (VERDICT r4
+item 2: "the ≥80% scaling claim has zero measured anchors").
+
+Builds the exact 1M S=8 partition plan the round-4 scaling model scores
+(chunked balance + ghost_floor=40000, window=512 local ghost layouts),
+then runs EACH shard's local program ON THE ONE REAL CHIP, sequentially:
+the per-shard compute is byte-for-byte the shard_map body
+(`parallel/halo.py::make_halo_train_step.inner` →
+`simulator_forward(h_local, method="halo:axis:fused")`) with the
+collectives replaced by shape-preserving local no-ops
+(all_to_all→identity, psum→identity, axis_index→0) — valid because the
+halo all_to_all is a pure block permutation of the [S*H, C] buffer (same
+bytes stay device-resident) and comm is modeled separately at ≤0.4% of the
+step. The numerator single-mesh program is measured in the same process
+with the same dtype/depth.
+
+Reports, for forward and forward+backward:
+    eff_measured = t_1mesh / (S * max_s t_shard)
+next to the per-shard padded-slot share the model derives its padding
+factor from. Writes benchmarks/out/halo_anchor.json.
+
+Usage: python benchmarks/halo_anchor.py [n_nodes] [S] [ghost_floor] [dtype]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(f, steps=6, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        r = f()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r = f()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / steps
+
+
+def main(n_nodes=1_000_000, s_shards=8, ghost_floor=40_000,
+         dtype="bfloat16", depth=7):
+    import jax
+    import jax.numpy as jnp
+
+    # ---- collective no-ops (BEFORE any jit traces them) ----------------
+    # all_to_all in halo.py is always tiled with split=concat=0: a block
+    # permutation, shape-preserving -> identity is timing-equivalent
+    # minus the ICI transfer (modeled separately).
+    jax.lax.all_to_all = (
+        lambda x, axis_name, split_axis, concat_axis, tiled=False, **kw: x
+    )
+    jax.lax.psum = lambda x, axis_name, **kw: x
+    jax.lax.axis_index = lambda axis_name: jnp.int32(0)
+
+    from bsms_gnn_tpu.config import load_config
+    from bsms_gnn_tpu.data.synthetic import make_delaunay_mesh
+    from bsms_gnn_tpu.graph.bistride import build_bistride_levels
+    from bsms_gnn_tpu.graph.hierarchy import load_or_build_hierarchy, pad_levels
+    from bsms_gnn_tpu.graph.mesh import to_flat_edge
+    from bsms_gnn_tpu.graph.order import reorder_mesh
+    from bsms_gnn_tpu.models.simulator import init_simulator, simulator_forward
+    from bsms_gnn_tpu.parallel import build_partition, partition_nodes
+    from bsms_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = load_config([
+        f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
+        "model.aggregation=fused", f"model.compute_dtype={dtype}",
+    ])
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+
+    t0 = time.time()
+    pos, cells, _ = make_delaunay_mesh(n_nodes, np.random.default_rng(0))
+    pos, cells, _, _ = reorder_mesh(pos, cells)
+    edges = to_flat_edge(cells, "tri")
+    n = pos.shape[0]
+    levels = build_bistride_levels(edges, depth, n, pos.astype(np.float64))
+    # Single-mesh hierarchy (numerator): the exact layout of the committed
+    # 406.9 ms scale_1m row (eb512 / window 512 / Morton).
+    h1 = load_or_build_hierarchy(
+        "/tmp/bsms-scale", f"scale{n_nodes}mrt", edges, depth, n,
+        pos.astype(np.float64), edge_block=512, window=512,
+    )
+    n_pad = h1.levels[0].n_pad_nodes
+    plan = build_partition(
+        levels, s_shards, n_pad, pos.astype(np.float64),
+        local_layouts=True, window=512, ghost_floor=ghost_floor,
+    )
+    print(f"precompute {time.time()-t0:.0f}s", flush=True)
+
+    c = cfg.model.out_dim
+    rng = np.random.default_rng(1)
+    node_in = np.zeros((n_pad, c + 3), np.float32)
+    node_in[:n, :c] = rng.standard_normal((n, c))
+    node_in[:n, c:c + 2] = pos
+    mask = np.zeros((n_pad, 1), np.float32)
+    mask[:n] = 1.0
+    tar = node_in[:, :c] * 1.01
+
+    state = init_simulator(jax.random.PRNGKey(0), cfg.model)
+
+    # ---- single-mesh numerator -----------------------------------------
+    h1d = jax.device_put(h1)
+    mcfg1 = cfg.model
+
+    fwd1 = jax.jit(lambda prm, ni, m: simulator_forward(
+        prm, state.norm_in, state.norm_out, h1d, ni, m, mcfg1, compute_dtype))
+
+    def loss1(prm, ni, m, t):
+        pred = simulator_forward(prm, state.norm_in, state.norm_out, h1d,
+                                 ni, m, mcfg1, compute_dtype)
+        se = jnp.square(pred - t) * m
+        return jnp.sqrt(jnp.sum(se) / jnp.sum(m) / c)
+
+    grad1 = jax.jit(jax.value_and_grad(loss1))
+    ni1, m1, t1j = (jnp.asarray(node_in), jnp.asarray(mask), jnp.asarray(tar))
+    t_fwd_1 = _timeit(lambda: fwd1(state.params, ni1, m1))
+    print(f"1-mesh fwd: {t_fwd_1*1e3:.1f} ms", flush=True)
+    t_grad_1 = _timeit(lambda: grad1(state.params, ni1, m1, t1j))
+    print(f"1-mesh fwd+bwd: {t_grad_1*1e3:.1f} ms", flush=True)
+    del h1d, h1
+    import gc
+
+    gc.collect()
+
+    # ---- per-shard programs --------------------------------------------
+    import dataclasses
+
+    axis = "graph"
+    mcfg = dataclasses.replace(cfg.model, aggregation=f"halo:{axis}:fused")
+    hier = plan.hierarchy
+    ni_s = partition_nodes(plan, node_in)
+    m_s = partition_nodes(plan, mask)
+    t_s = partition_nodes(plan, tar)
+
+    shard_rows = []
+    for s in range(s_shards):
+        h_s = jax.device_put(
+            jax.tree_util.tree_map(lambda a: np.asarray(a)[s], hier)
+        )
+        nis = jnp.asarray(ni_s[s])
+        ms = jnp.asarray(m_s[s])
+        ts = jnp.asarray(t_s[s])
+
+        fwd_s = jax.jit(lambda prm, ni, m, h_s=h_s: simulator_forward(
+            prm, state.norm_in, state.norm_out, h_s, ni, m, mcfg,
+            compute_dtype))
+
+        def loss_s(prm, ni, m, t, h_s=h_s):
+            pred = simulator_forward(prm, state.norm_in, state.norm_out,
+                                     h_s, ni, m, mcfg, compute_dtype)
+            se = jnp.square(pred - t) * m
+            # psum is patched to identity: local sums only (timing run).
+            return jnp.sqrt(jnp.sum(se) / (jnp.sum(m) + 1.0) / c)
+
+        grad_s = jax.jit(jax.value_and_grad(loss_s))
+        tf = _timeit(lambda: fwd_s(state.params, nis, ms))
+        tg = _timeit(lambda: grad_s(state.params, nis, ms, ts))
+        shard_rows.append({"shard": s, "fwd_ms": round(tf * 1e3, 2),
+                           "fwdbwd_ms": round(tg * 1e3, 2)})
+        print(f"shard {s}: fwd {tf*1e3:.1f} ms  fwd+bwd {tg*1e3:.1f} ms",
+              flush=True)
+        del h_s
+        gc.collect()
+
+    max_f = max(r["fwd_ms"] for r in shard_rows)
+    max_g = max(r["fwdbwd_ms"] for r in shard_rows)
+    eff_f = t_fwd_1 * 1e3 / (s_shards * max_f)
+    eff_g = t_grad_1 * 1e3 / (s_shards * max_g)
+    print(
+        f"eff_measured (TPU, sequential shards): fwd {100*eff_f:.1f}%  "
+        f"fwd+bwd {100*eff_g:.1f}%  (S={s_shards}, ghost_floor={ghost_floor})",
+        flush=True,
+    )
+    out = {
+        "n_nodes": n_nodes, "s_shards": s_shards,
+        "ghost_floor": ghost_floor, "dtype": dtype, "depth": depth,
+        "method": "per-shard shard_map body on the real chip, collectives "
+                  "replaced by shape-preserving local no-ops; comm modeled "
+                  "separately (scaling_model.py: <=0.4%/step)",
+        "t_1mesh_fwd_ms": round(t_fwd_1 * 1e3, 2),
+        "t_1mesh_fwdbwd_ms": round(t_grad_1 * 1e3, 2),
+        "shards": shard_rows,
+        "max_shard_fwd_ms": max_f,
+        "max_shard_fwdbwd_ms": max_g,
+        "eff_measured_fwd": round(eff_f, 4),
+        "eff_measured_fwdbwd": round(eff_g, 4),
+        "modeled_eff_r4": {"no_overlap": 0.819, "full_overlap": 0.840},
+        "device": jax.devices()[0].device_kind,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out",
+                        "halo_anchor.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(
+        int(a[0]) if a else 1_000_000,
+        int(a[1]) if len(a) > 1 else 8,
+        int(a[2]) if len(a) > 2 else 40_000,
+        a[3] if len(a) > 3 else "bfloat16",
+    )

@@ -4,12 +4,19 @@ slope ~2-4x shallower than MGN/Grid).
 
 Runs a full training step (forward + backward + AdamW) of the
 deforming_plate recipe (depth-5 U-Net, latent 128, world edges) on a
-synthetic tetra mesh at the reference case's scale (~1.3k nodes) across a
-batch-size sweep, and reports the device peak memory per point plus the
-fitted GB-per-sample slope.
+synthetic tetra mesh across a batch-size sweep — at the reference case's
+~1.3k nodes AND at ~5k nodes (the airfoil-scale regime of
+`figs/perform.png(b)`) — and reports the compiled peak memory per point
+plus the fitted GB-per-sample slope, remat off and on.
 
-Usage: python benchmarks/memory_footprint.py [n_nodes] [batches...]
-(TPU; falls back to a tiny CPU sanity sweep with --cpu)
+Memory accounting is XLA's static memory analysis of the compiled step
+(arguments + outputs + temporaries − aliased donations): deterministic,
+identical across process layouts, and exactly what the compiler reserves
+for one step. The runtime `peak_bytes_in_use` stat is a process-lifetime
+high-water mark that cannot be reset between sweeps sharing a process
+(advisor r4, medium), so it is not used.
+
+Usage: python benchmarks/memory_footprint.py [n_nodes...]
 """
 
 from __future__ import annotations
@@ -22,18 +29,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _peak_bytes(device) -> int:
-    stats = device.memory_stats() or {}
-    return int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+# Points whose compiled peak exceeds this are not executed (the chip would
+# OOM / thrash); their timing column is null.
+EXEC_GIB_LIMIT = 13.0
 
 
 def _compiled_peak_bytes(trainer, h, node_in, node_tar, mask, key) -> int:
-    """Static peak-HBM accounting from XLA's own memory analysis of the
-    compiled train step (arguments + outputs + temporaries - aliased
-    donations). Used when the runtime exposes no memory_stats() — e.g. the
-    tunneled axon backend — and as the apples-to-apples number anyway:
-    it is exactly what the compiler reserves for one step."""
     import jax.numpy as jnp
 
     lowered = trainer._train_step.lower(
@@ -64,7 +65,6 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
     from bsms_gnn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    dev = jax.devices()[0]
 
     cfg = load_config([
         "datasets=deforming_plate", "model=deforming_plate",
@@ -95,47 +95,47 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
         mask[:, n:] = 0.0
 
         trainer = Trainer(cfg)
-        # one warmup (normalizer) + one gradient step; peak covers backward
-        for i in range(2):
-            loss = trainer.iter(
-                h, jnp.asarray(node_in), jnp.asarray(node_tar),
-                jnp.asarray(mask), jax.random.fold_in(key, i),
-            )
-            loss.block_until_ready()
-        # step time (3 timed iters) so the remat memory/time trade is
-        # recorded next to the footprint, not hand-waved
-        t0 = time.perf_counter()
-        for i in range(3):
-            loss = trainer.iter(
-                h, jnp.asarray(node_in), jnp.asarray(node_tar),
-                jnp.asarray(mask), jax.random.fold_in(key, 10 + i),
-            )
-        loss.block_until_ready()
-        ms = (time.perf_counter() - t0) / 3 * 1e3
-        peak = _peak_bytes(dev)
-        src = "runtime"
-        if peak == 0:
-            peak = _compiled_peak_bytes(
-                trainer, h, node_in, node_tar, mask,
-                jax.random.fold_in(key, 2),
-            )
-            src = "compiled"
+        peak = _compiled_peak_bytes(
+            trainer, h, node_in, node_tar, mask, jax.random.fold_in(key, 2)
+        )
         gb = peak / 2**30
-        results.append((b, gb, src, ms))
-        print(f"batch {b:3d}: peak {gb:.2f} GiB [{src}] {ms:7.1f} ms/step "
-              f"(loss {float(loss):.4f})", flush=True)
+        ms = None
+        if gb and gb <= EXEC_GIB_LIMIT:
+            # one warmup (normalizer) + one gradient step + one discarded
+            # timed iter, then the median of 8 individually-blocked iters
+            # (advisor r4: a 3-iter window at small batch is dominated by
+            # dispatch/caching noise).
+            for i in range(3):
+                loss = trainer.iter(
+                    h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                    jnp.asarray(mask), jax.random.fold_in(key, i),
+                )
+                loss.block_until_ready()
+            ts = []
+            for i in range(8):
+                t0 = time.perf_counter()
+                loss = trainer.iter(
+                    h, jnp.asarray(node_in), jnp.asarray(node_tar),
+                    jnp.asarray(mask), jax.random.fold_in(key, 10 + i),
+                )
+                loss.block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            ms = float(np.median(ts) * 1e3)
+        results.append((b, gb, ms))
+        tstr = f"{ms:7.1f} ms/step" if ms is not None else "   (not executed)"
+        print(f"batch {b:3d}: peak {gb:.2f} GiB [compiled] {tstr}",
+              flush=True)
         del trainer
 
     if len(results) < 2:
         return None
     bs = np.array([r[0] for r in results], np.float64)
     gbs = np.array([r[1] for r in results], np.float64)
-    # Capacity saturation detection: near the chip's HBM limit XLA
-    # trades memory for time (serialized schedules / forced remat), so
-    # the top points flatten and a least-squares line through the kink
-    # matches neither regime (VERDICT r3 weak item 3). Fit only the
-    # linear head: drop trailing points whose pairwise slope falls
-    # below half the first pairwise slope.
+    # Capacity saturation detection: near the chip's HBM limit XLA trades
+    # memory for time (serialized schedules / forced remat), so the top
+    # points flatten and a least-squares line through the kink matches
+    # neither regime. Fit only the linear head: drop trailing points whose
+    # pairwise slope falls below half the first pairwise slope.
     pair = np.diff(gbs) / np.diff(bs)
     keep = len(results)
     for i in range(1, len(pair)):
@@ -145,19 +145,18 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
     saturated = [i >= keep for i in range(len(results))]
     slope, intercept = np.polyfit(bs[:keep], gbs[:keep], 1)
     print(
-        f"[remat={remat}] slope {slope * 1024:.1f} MiB/sample (fit over the "
-        f"first {keep} points; {len(results) - keep} capacity-saturated "
-        f"point(s) excluded), intercept {intercept:.2f} GiB"
+        f"[n={n_nodes} remat={remat}] slope {slope * 1024:.1f} MiB/sample "
+        f"(fit over the first {keep} points; {len(results) - keep} "
+        f"capacity-saturated point(s) excluded), intercept {intercept:.2f} GiB"
     )
-    # Honest vs-reference number: the model-predicted (unsaturated)
-    # footprint at the reference's batch 64, from the linear head.
     pred64 = intercept + slope * 64
     return {
         "remat": bool(remat),
         "points": [
-            {"batch": int(b), "gib": round(g, 3), "src": s_,
-             "ms_per_step": round(ms, 1), "capacity_saturated": bool(sat)}
-            for (b, g, s_, ms), sat in zip(results, saturated)
+            {"batch": int(b), "gib": round(g, 3),
+             "ms_per_step": round(ms, 1) if ms is not None else None,
+             "capacity_saturated": bool(sat)}
+            for (b, g, ms), sat in zip(results, saturated)
         ],
         "mib_per_sample": round(slope * 1024, 2),
         "intercept_gib": round(intercept, 3),
@@ -166,39 +165,55 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
     }
 
 
-def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
-    """Sweep the footprint with remat off AND on: remat-off shows the raw
-    activation slope, remat-on (`model.remat=true`, jax.checkpoint on the
-    GMP blocks) is the recommended large-batch training config and the one
-    compared against the reference's ~17 GB @ batch 64 (the reference has
-    no checkpointing option at all -- the trade is one forward replay,
-    recorded in ms_per_step)."""
-    sweeps = []
-    for remat in (False, True):
-        r = run_sweep(n_nodes, batches, compute_dtype, remat)
-        if r is not None:
-            sweeps.append(r)
-    if not sweeps:
+def main(node_counts=(1300, 5000), batches=(8, 16, 32, 64),
+         compute_dtype="float32"):
+    """Per mesh size, sweep the footprint with remat off AND on: remat-off
+    shows the raw activation slope, remat-on (`model.remat=true`,
+    jax.checkpoint on the GMP blocks) is the recommended large-batch
+    training config. The reference comparison prints BOTH configs — the
+    reference has no checkpointing option at all, and our remat-OFF slope
+    may exceed its ~17 GB @ batch 64; the trade is one forward replay,
+    recorded in ms_per_step."""
+    cases = []
+    for n_nodes in node_counts:
+        sweeps = [r for r in (
+            run_sweep(n_nodes, batches, compute_dtype, remat)
+            for remat in (False, True)
+        ) if r is not None]
+        if not sweeps:
+            continue
+        by_remat = {r["remat"]: r for r in sweeps}
+        line = " / ".join(
+            f"remat-{'on' if k else 'off'} "
+            f"{by_remat[k]['predicted_gib_at_batch64']:.1f} GiB"
+            for k in sorted(by_remat)
+        )
+        best = min(sweeps, key=lambda r: r["predicted_gib_at_batch64"])
+        if n_nodes <= 2000:
+            print(
+                f"REFERENCE COMPARISON (n={n_nodes}): {line} @ batch 64 "
+                f"vs BSMS-GNN(torch) ~17 GB (figs/perform.png(c)); "
+                f"recommended (remat={best['remat']}) is "
+                f"{17.0 / best['predicted_gib_at_batch64']:.1f}x less"
+            )
+        cases.append({
+            "n_nodes": n_nodes,
+            "sweeps": sweeps,
+            "recommended": {
+                "remat": best["remat"],
+                "mib_per_sample": best["mib_per_sample"],
+                "predicted_gib_at_batch64": best["predicted_gib_at_batch64"],
+            },
+        })
+    if not cases:
         print("no memory accounting available on this backend")
         return
-    best = min(sweeps, key=lambda r: r["predicted_gib_at_batch64"])
-    print(
-        f"REFERENCE COMPARISON: BSMS-GNN(torch) ~17 GB @ batch 64 "
-        f"(figs/perform.png(c)); this framework (remat={best['remat']}) "
-        f"predicts {best['predicted_gib_at_batch64']:.2f} GiB @ batch 64 "
-        f"({17.0 / best['predicted_gib_at_batch64']:.1f}x less memory)"
-    )
     out = {
-        "n_nodes": n_nodes, "compute_dtype": compute_dtype,
-        "sweeps": sweeps,
-        # top-level fields mirror the best (recommended) config
-        "points": best["points"],
-        "mib_per_sample": best["mib_per_sample"],
-        "intercept_gib": best["intercept_gib"],
-        "fit_points": best["fit_points"],
-        "best_config_remat": best["remat"],
-        "predicted_gib_at_batch64": best["predicted_gib_at_batch64"],
+        "compute_dtype": compute_dtype,
+        "accounting": "compiled (XLA memory_analysis of the train step)",
+        "cases": cases,
         "reference_gib_at_batch64": 17.0,
+        "reference_case_n_nodes": 1300,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "out", "memory_footprint.json")
@@ -210,6 +225,5 @@ def main(n_nodes=1300, batches=(8, 16, 32, 64), compute_dtype="float32"):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    n_nodes = int(args[0]) if args else 1300
-    batches = tuple(int(a) for a in args[1:]) or (8, 16, 32, 64)
-    main(n_nodes, batches)
+    node_counts = tuple(int(a) for a in args) or (1300, 5000)
+    main(node_counts)

@@ -1309,7 +1309,8 @@ def _chunk_tables5(level, k: int):
     return tabs, vis, recv_packed
 
 
-def _make_fwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int):
+def _make_fwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int,
+                      stack: bool = False):
     import jax.experimental.pallas as pl
 
     from bsms_gnn_tpu.ops.pallas.windowed import _select
@@ -1348,17 +1349,26 @@ def _make_fwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int):
             pres.append(fib + sel + zj)
             keep = jnp.logical_and(live_r[i] == 1, sw < 2 * wh)
             masks.append(jnp.where(keep, onehot, 0.0))
-        stacked = jnp.concatenate(pres, axis=0) if k > 1 else pres[0]
-        e = _mlp_chunk_fwd(stacked, w_ref, b_ref, n_layers, op_dtype)
+        if stack:
+            stacked = jnp.concatenate(pres, axis=0) if k > 1 else pres[0]
+            e = _mlp_chunk_fwd(stacked, w_ref, b_ref, n_layers, op_dtype)
+            es = [e[s * be:(s + 1) * be] for s in range(k)]
+        else:
+            # Per-stream tail chains: the K independent dot chains still
+            # interleave in Mosaic's schedule, without paying the concat's
+            # VMEM copy of the stacked rows.
+            es = [_mlp_chunk_fwd(p_, w_ref, b_ref, n_layers, op_dtype)
+                  for p_ in pres]
         for s in range(k):
-            outs[s][:] += _dot(masks[s], e[s * be:(s + 1) * be], op_dtype)
+            outs[s][:] += _dot(masks[s], es[s], op_dtype)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _get_fwd5(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
-              op_dtype_name: str, be: int, wh: int, k: int):
+              op_dtype_name: str, be: int, wh: int, k: int,
+              stack: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1393,7 +1403,8 @@ def _get_fwd5(e_pad: int, n_pad: int, c: int, n_layers: int, interpret: bool,
         ],
     )
     return pl.pallas_call(
-        _make_fwd5_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, k),
+        _make_fwd5_kernel(n_layers, jnp.dtype(op_dtype_name), be, wh, k,
+                          stack),
         out_shape=[jax.ShapeDtypeStruct((n_pad, c), jnp.float32)] * k,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1416,13 +1427,22 @@ def _combine_streams(outs, vis, n_pad: int):
 
 
 def fused_edge_phase_win_k(level, xwi, xj, wf8, weights: Tuple,
-                           biases: Tuple, k: int = 2
+                           biases: Tuple, k: int = 2,
+                           min_density: int = 6
                            ) -> Optional[jax.Array]:
     """K-way interleaved v3 edge phase (forward + fused backward): same
     contract as `fused_edge_phase_win` (windowed part only; the caller adds
     the residual layout), with K chunks per grid step. k=1 falls back to
     the v3 pair."""
     if k <= 1:
+        return fused_edge_phase_win(level, xwi, xj, wf8, weights, biases)
+    # Chunk-density gate (benchmarks/out/k_interleave.json): the K-way
+    # kernel wins only where the per-level combine (K masked [N_pad, C]
+    # sums) is small against the kernel — i.e. many chunks per 128-node
+    # output block (deep bi-stride levels, A^2-dense). Sparse levels
+    # (level 0: ~2 chunks/block) fall back to the v3 pair.
+    be_g = getattr(level, "edge_block", 128)
+    if level.n_pad_edges // be_g < min_density * (level.n_pad_nodes // BN):
         return fused_edge_phase_win(level, xwi, xj, wf8, weights, biases)
     from bsms_gnn_tpu.ops.pallas.windowed import supported as win_supported
 
@@ -1593,16 +1613,16 @@ def _make_bwd5_kernel(n_layers: int, op_dtype, be: int, wh: int, k: int):
             gs.append(_dot_t(masked, g_node_r[:].astype(jnp.float32),
                              op_dtype))
 
-        pre = jnp.concatenate(pres, axis=0) if k > 1 else pres[0]
-        g = jnp.concatenate(gs, axis=0) if k > 1 else gs[0]
-        fibt_all = jnp.concatenate(fibts, axis=1) if k > 1 else fibts[0]
-        normed, inv, hs = _mlp_chunk_fwd_save(pre, w_ref, b_ref, n_layers,
-                                              op_dtype)
-        dpre = _mlp_chunk_bwd(pre, hs, normed, inv, g, w_ref, n_layers,
-                              op_dtype, dw_acc, db_acc)
-        dwf8_acc[:] += _dot(fibt_all, dpre, op_dtype)
+        # Per-stream tail transpose chains (K independent chains interleave
+        # in Mosaic's schedule; the measured k_interleave.json probe shows
+        # stacked concat costs ~7% in VMEM copies). _mlp_chunk_bwd's scratch
+        # accumulation (dw_acc[l] += ...) composes across streams.
         for s in range(k):
-            dpre_s = dpre[s * be:(s + 1) * be]
+            normed, inv, hs = _mlp_chunk_fwd_save(pres[s], w_ref, b_ref,
+                                                  n_layers, op_dtype)
+            dpre_s = _mlp_chunk_bwd(pres[s], hs, normed, inv, gs[s], w_ref,
+                                    n_layers, op_dtype, dw_acc, db_acc)
+            dwf8_acc[:] += _dot(fibts[s], dpre_s, op_dtype)
             dpre_refs[s][:] = dpre_s.astype(dpre_refs[s].dtype)
             dxj_refs[s][:] += _dot(onehots[s], dpre_s, op_dtype)
 

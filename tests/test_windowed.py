@@ -993,7 +993,8 @@ def test_fused_v5_interleaved_matches_v3(morton, k):
         lambda a, b, w: fused_edge_phase_win(lw, a, b, w, ws, bs)
     )(xwi, xj, wf8))
     out5 = np.asarray(jax.jit(
-        lambda a, b, w: fused_edge_phase_win_k(lw, a, b, w, ws, bs, k)
+        lambda a, b, w: fused_edge_phase_win_k(lw, a, b, w, ws, bs, k,
+                                               min_density=0)
     )(xwi, xj, wf8))
     n = lw.n_nodes
     np.testing.assert_allclose(out5[:n], out3[:n], rtol=2e-5, atol=2e-5)
@@ -1007,7 +1008,7 @@ def test_fused_v5_interleaved_matches_v3(morton, k):
     g5 = jax.jit(jax.grad(
         functools.partial(
             loss, lambda lvl, a, b, w, ws, bs:
-            fused_edge_phase_win_k(lvl, a, b, w, ws, bs, k)
+            fused_edge_phase_win_k(lvl, a, b, w, ws, bs, k, min_density=0)
         ), argnums=(0, 1, 2, 3, 4)
     ))(xwi, xj, wf8, ws, bs)
     for t3, t5 in zip(jax.tree.leaves(g3), jax.tree.leaves(g5)):
