@@ -76,6 +76,10 @@ def main(n_nodes=1_000_000, s_shards=8, ghost_floor=40_000,
     cfg = load_config([
         f"model.unet_depth={depth}", f"datasets.unet_depth={depth}",
         "model.aggregation=fused", f"model.compute_dtype={dtype}",
+        # remat on BOTH the 1-mesh numerator and the per-shard programs
+        # (identical replay work each side): the 1M noremat backward
+        # crashes the TPU compiler.
+        "model.remat=true",
     ])
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
 
@@ -110,23 +114,25 @@ def main(n_nodes=1_000_000, s_shards=8, ghost_floor=40_000,
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
 
     # ---- single-mesh numerator -----------------------------------------
+    # Hierarchies ride as jit ARGUMENTS (closed-over tables overflow the
+    # remote compile service's request limit).
     h1d = jax.device_put(h1)
     mcfg1 = cfg.model
 
-    fwd1 = jax.jit(lambda prm, ni, m: simulator_forward(
-        prm, state.norm_in, state.norm_out, h1d, ni, m, mcfg1, compute_dtype))
+    fwd1 = jax.jit(lambda prm, hh, ni, m: simulator_forward(
+        prm, state.norm_in, state.norm_out, hh, ni, m, mcfg1, compute_dtype))
 
-    def loss1(prm, ni, m, t):
-        pred = simulator_forward(prm, state.norm_in, state.norm_out, h1d,
+    def loss1(prm, hh, ni, m, t):
+        pred = simulator_forward(prm, state.norm_in, state.norm_out, hh,
                                  ni, m, mcfg1, compute_dtype)
         se = jnp.square(pred - t) * m
         return jnp.sqrt(jnp.sum(se) / jnp.sum(m) / c)
 
     grad1 = jax.jit(jax.value_and_grad(loss1))
     ni1, m1, t1j = (jnp.asarray(node_in), jnp.asarray(mask), jnp.asarray(tar))
-    t_fwd_1 = _timeit(lambda: fwd1(state.params, ni1, m1))
+    t_fwd_1 = _timeit(lambda: fwd1(state.params, h1d, ni1, m1))
     print(f"1-mesh fwd: {t_fwd_1*1e3:.1f} ms", flush=True)
-    t_grad_1 = _timeit(lambda: grad1(state.params, ni1, m1, t1j))
+    t_grad_1 = _timeit(lambda: grad1(state.params, h1d, ni1, m1, t1j))
     print(f"1-mesh fwd+bwd: {t_grad_1*1e3:.1f} ms", flush=True)
     del h1d, h1
     import gc
@@ -143,6 +149,22 @@ def main(n_nodes=1_000_000, s_shards=8, ghost_floor=40_000,
     m_s = partition_nodes(plan, mask)
     t_s = partition_nodes(plan, tar)
 
+    # One jit serves all shards: the plan's per-shard layouts are
+    # shape-unified (partition.py::_unify_ells / _tile_level), so the same
+    # compiled program times every shard.
+    fwd_s = jax.jit(lambda prm, hh, ni, m: simulator_forward(
+        prm, state.norm_in, state.norm_out, hh, ni, m, mcfg,
+        compute_dtype))
+
+    def loss_s(prm, hh, ni, m, t):
+        pred = simulator_forward(prm, state.norm_in, state.norm_out,
+                                 hh, ni, m, mcfg, compute_dtype)
+        se = jnp.square(pred - t) * m
+        # psum is patched to identity: local sums only (timing run).
+        return jnp.sqrt(jnp.sum(se) / (jnp.sum(m) + 1.0) / c)
+
+    grad_s = jax.jit(jax.value_and_grad(loss_s))
+
     shard_rows = []
     for s in range(s_shards):
         h_s = jax.device_put(
@@ -151,21 +173,8 @@ def main(n_nodes=1_000_000, s_shards=8, ghost_floor=40_000,
         nis = jnp.asarray(ni_s[s])
         ms = jnp.asarray(m_s[s])
         ts = jnp.asarray(t_s[s])
-
-        fwd_s = jax.jit(lambda prm, ni, m, h_s=h_s: simulator_forward(
-            prm, state.norm_in, state.norm_out, h_s, ni, m, mcfg,
-            compute_dtype))
-
-        def loss_s(prm, ni, m, t, h_s=h_s):
-            pred = simulator_forward(prm, state.norm_in, state.norm_out,
-                                     h_s, ni, m, mcfg, compute_dtype)
-            se = jnp.square(pred - t) * m
-            # psum is patched to identity: local sums only (timing run).
-            return jnp.sqrt(jnp.sum(se) / (jnp.sum(m) + 1.0) / c)
-
-        grad_s = jax.jit(jax.value_and_grad(loss_s))
-        tf = _timeit(lambda: fwd_s(state.params, nis, ms))
-        tg = _timeit(lambda: grad_s(state.params, nis, ms, ts))
+        tf = _timeit(lambda: fwd_s(state.params, h_s, nis, ms))
+        tg = _timeit(lambda: grad_s(state.params, h_s, nis, ms, ts))
         shard_rows.append({"shard": s, "fwd_ms": round(tf * 1e3, 2),
                            "fwdbwd_ms": round(tg * 1e3, 2)})
         print(f"shard {s}: fwd {tf*1e3:.1f} ms  fwd+bwd {tg*1e3:.1f} ms",
