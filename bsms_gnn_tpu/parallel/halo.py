@@ -134,31 +134,43 @@ def _kernel_send_sum(lg, feat):
     return out
 
 
+# NOTE on custom-VJP structure (all primitives below): `level` rides as an
+# explicit argument with a None cotangent, threaded through the residuals —
+# NEVER read from the closure inside `bwd`. jax.checkpoint re-traces the
+# forward during the backward pass; a bwd that closes over level leaves
+# captured in a different trace leaks that trace's tracers (it broke
+# remat + ghost_floor plans; regression: tests/test_halo.py remat cases).
+# `axis` (a static string) and input dtypes are safe captures.
+
+
 def _gather_send_ghost(level: HaloLevel, x, axis: str):
-    lg = level.local
-    n_loc = level.n_pad_nodes
     in_dtype = x.dtype
 
     @jax.custom_vjp
-    def g(x):
+    def g(level, x):
+        lg = level.local
         return jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
 
-    def fwd(x):
-        return g(x), None
+    def fwd(level, x):
+        lg = level.local
+        out = jnp.take(_ext_assemble(level, x, axis), lg.senders, axis=-2)
+        return out, level
 
-    def bwd(_, ct):
+    def bwd(level, ct):
+        lg = level.local
+        n_loc = level.n_pad_nodes
         full = _kernel_send_sum(lg, ct)
         local = full[..., :n_loc, :]
         if level.replicated:  # no halo slots were referenced
-            return (local.astype(in_dtype),)
+            return None, local.astype(in_dtype)
         nh = level.halo_send.shape[0] * level.halo_send.shape[1]
         remote = _halo_return(
             full[..., n_loc : n_loc + nh, :], level.halo_send, n_loc, axis
         )
-        return ((local + remote).astype(in_dtype),)
+        return None, (local + remote).astype(in_dtype)
 
     g.defvjp(fwd, bwd)
-    return g(x)
+    return g(level, x)
 
 
 def _gather_recv_ghost(level: HaloLevel, x, axis: str):
@@ -167,68 +179,66 @@ def _gather_recv_ghost(level: HaloLevel, x, axis: str):
     land on discarded ext rows), so the clamp never reaches a real value —
     and the adjoint drops exactly those dead cotangents. Do NOT compose
     this with `aggregate_send` for the up conv; use `conv_up_ghost`."""
-    lg = level.local
-    n_loc = level.n_pad_nodes
     in_dtype = x.dtype
 
     @jax.custom_vjp
-    def g(x):
+    def g(level, x):
         return jnp.take(x, level.recv_clamped, axis=-2)
 
-    def fwd(x):
-        return g(x), None
+    def fwd(level, x):
+        return jnp.take(x, level.recv_clamped, axis=-2), level
 
-    def bwd(_, ct):
-        full = _kernel_recv_sum(lg, ct)
-        return (full[..., :n_loc, :].astype(in_dtype),)
+    def bwd(level, ct):
+        full = _kernel_recv_sum(level.local, ct)
+        return None, full[..., : level.n_pad_nodes, :].astype(in_dtype)
 
     g.defvjp(fwd, bwd)
-    return g(x)
+    return g(level, x)
 
 
 def _aggregate_recv_ghost(level: HaloLevel, feat, axis: str):
     """Σ over owned edges by (local) receiver — ghost contributions land on
     ext rows ≥ N_loc and are sliced away. Purely local."""
-    lg = level.local
-    n_loc = level.n_pad_nodes
     in_dtype = feat.dtype
 
     @jax.custom_vjp
-    def g(feat):
-        return _kernel_recv_sum(lg, feat)[..., :n_loc, :]
+    def g(level, feat):
+        return _kernel_recv_sum(level.local, feat)[..., : level.n_pad_nodes, :]
 
-    def fwd(feat):
-        return g(feat), None
+    def fwd(level, feat):
+        out = _kernel_recv_sum(level.local, feat)[..., : level.n_pad_nodes, :]
+        return out, level
 
-    def bwd(_, ct):
+    def bwd(level, ct):
+        lg = level.local
         ct_ext = _pad_rows(ct, lg.n_pad_nodes)
-        return (jnp.take(ct_ext, lg.receivers, axis=-2).astype(in_dtype),)
+        return None, jnp.take(ct_ext, lg.receivers, axis=-2).astype(in_dtype)
 
     g.defvjp(fwd, bwd)
-    return g(feat)
+    return g(level, feat)
 
 
 def _aggregate_send_ghost(level: HaloLevel, feat, axis: str):
     """Σ over ALL slots (owned + ghost) by sender: ghost slots carry the
     remote-owned out-edges, so local sender rows are globally complete with
     ZERO communication (the collective moved into the feature gather)."""
-    lg = level.local
-    n_loc = level.n_pad_nodes
     in_dtype = feat.dtype
 
     @jax.custom_vjp
-    def g(feat):
-        return _kernel_send_sum(lg, feat)[..., :n_loc, :]
+    def g(level, feat):
+        return _kernel_send_sum(level.local, feat)[..., : level.n_pad_nodes, :]
 
-    def fwd(feat):
-        return g(feat), None
+    def fwd(level, feat):
+        out = _kernel_send_sum(level.local, feat)[..., : level.n_pad_nodes, :]
+        return out, level
 
-    def bwd(_, ct):
+    def bwd(level, ct):
+        lg = level.local
         ct_ext = _pad_rows(ct, lg.n_pad_nodes)
-        return (jnp.take(ct_ext, lg.senders, axis=-2).astype(in_dtype),)
+        return None, jnp.take(ct_ext, lg.senders, axis=-2).astype(in_dtype)
 
     g.defvjp(fwd, bwd)
-    return g(feat)
+    return g(level, feat)
 
 
 def _conv_ghost_raw(level: HaloLevel, x, axis: str, up: bool):
@@ -269,32 +279,32 @@ def conv_down_ghost(level: HaloLevel, x, axis: str):
     composed global operator here)."""
 
     @jax.custom_vjp
-    def down(x):
+    def down(level, x):
         return _conv_down_ghost_raw(level, x, axis)
 
-    def fwd(x):
-        return down(x), None
+    def fwd(level, x):
+        return _conv_down_ghost_raw(level, x, axis), level
 
-    def bwd(_, g):
-        return (_conv_up_ghost_raw(level, g, axis),)
+    def bwd(level, g):
+        return None, _conv_up_ghost_raw(level, g, axis)
 
     down.defvjp(fwd, bwd)
-    return down(x)
+    return down(level, x)
 
 
 def conv_up_ghost(level: HaloLevel, x, axis: str):
     @jax.custom_vjp
-    def up(x):
+    def up(level, x):
         return _conv_up_ghost_raw(level, x, axis)
 
-    def fwd(x):
-        return up(x), None
+    def fwd(level, x):
+        return _conv_up_ghost_raw(level, x, axis), level
 
-    def bwd(_, g):
-        return (_conv_down_ghost_raw(level, g, axis),)
+    def bwd(level, g):
+        return None, _conv_down_ghost_raw(level, g, axis)
 
     up.defvjp(fwd, bwd)
-    return up(x)
+    return up(level, x)
 
 
 def gather_send(level: HaloLevel, x, axis: str):
@@ -303,21 +313,25 @@ def gather_send(level: HaloLevel, x, axis: str):
         return _gather_send_ghost(level, x, axis)
 
     @jax.custom_vjp
-    def g(x):
-        if level.replicated:  # all senders local: no halo exchange
-            return jnp.take(x, level.senders_ext, axis=-2)
-        halo = _halo_rows(x, level.halo_send, axis)
-        ext = jnp.concatenate([x, halo], axis=-2)
-        return jnp.take(ext, level.senders_ext, axis=-2)
+    def g(level, x):
+        return _gather_send_plain_raw(level, x, axis)
 
-    def fwd(x):
-        return g(x), None
+    def fwd(level, x):
+        return _gather_send_plain_raw(level, x, axis), level
 
-    def bwd(_, ct):
-        return (_aggregate_send_impl(level, ct, axis),)
+    def bwd(level, ct):
+        return None, _aggregate_send_impl(level, ct, axis)
 
     g.defvjp(fwd, bwd)
-    return g(x)
+    return g(level, x)
+
+
+def _gather_send_plain_raw(level: HaloLevel, x, axis: str):
+    if level.replicated:  # all senders local: no halo exchange
+        return jnp.take(x, level.senders_ext, axis=-2)
+    halo = _halo_rows(x, level.halo_send, axis)
+    ext = jnp.concatenate([x, halo], axis=-2)
+    return jnp.take(ext, level.senders_ext, axis=-2)
 
 
 def _aggregate_send_impl(level: HaloLevel, feat, axis: str):
@@ -337,21 +351,17 @@ def aggregate_send(level: HaloLevel, feat, axis: str):
         return _aggregate_send_ghost(level, feat, axis)
 
     @jax.custom_vjp
-    def g(feat):
+    def g(level, feat):
         return _aggregate_send_impl(level, feat, axis)
 
-    def fwd(feat):
-        return g(feat), None
+    def fwd(level, feat):
+        return _aggregate_send_impl(level, feat, axis), level
 
-    def bwd(_, ct):
-        if level.replicated:  # all senders local
-            return (jnp.take(ct, level.senders_ext, axis=-2),)
-        halo = _halo_rows(ct, level.halo_send, axis)
-        ext = jnp.concatenate([ct, halo], axis=-2)
-        return (jnp.take(ext, level.senders_ext, axis=-2),)
+    def bwd(level, ct):
+        return None, _gather_send_plain_raw(level, ct, axis)
 
     g.defvjp(fwd, bwd)
-    return g(feat)
+    return g(level, feat)
 
 
 def gather_recv(level: HaloLevel, x, axis: str):
@@ -360,17 +370,17 @@ def gather_recv(level: HaloLevel, x, axis: str):
         return _gather_recv_ghost(level, x, axis)
 
     @jax.custom_vjp
-    def g(x):
+    def g(level, x):
         return jnp.take(x, level.receivers, axis=-2)
 
-    def fwd(x):
-        return g(x), None
+    def fwd(level, x):
+        return jnp.take(x, level.receivers, axis=-2), level
 
-    def bwd(_, ct):
-        return (_seg_sum(ct, level.receivers, level.n_pad_nodes),)
+    def bwd(level, ct):
+        return None, _seg_sum(ct, level.receivers, level.n_pad_nodes)
 
     g.defvjp(fwd, bwd)
-    return g(x)
+    return g(level, x)
 
 
 def aggregate_recv(level: HaloLevel, feat, axis: str):
@@ -379,17 +389,17 @@ def aggregate_recv(level: HaloLevel, feat, axis: str):
         return _aggregate_recv_ghost(level, feat, axis)
 
     @jax.custom_vjp
-    def g(feat):
+    def g(level, feat):
         return _seg_sum(feat, level.receivers, level.n_pad_nodes)
 
-    def fwd(feat):
-        return g(feat), None
+    def fwd(level, feat):
+        return _seg_sum(feat, level.receivers, level.n_pad_nodes), level
 
-    def bwd(_, ct):
-        return (jnp.take(ct, level.receivers, axis=-2),)
+    def bwd(level, ct):
+        return None, jnp.take(ct, level.receivers, axis=-2)
 
     g.defvjp(fwd, bwd)
-    return g(feat)
+    return g(level, feat)
 
 
 # ---------------------------------------------------------------------------

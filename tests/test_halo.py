@@ -572,3 +572,33 @@ def test_halo_train_step_matches_single_device(n_shards, local_layouts):
         np.asarray(tr_ref.state.sim.norm_out.e_x2),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_ghost_floor_remat_train_matches_noremat():
+    """Regression (round 5): remat + mixed ghost/plain halo hierarchy. The
+    plain-path custom VJPs used to read `level` from the bwd closure, which
+    leaks checkpoint-scope tracers when jax.checkpoint re-traces the
+    forward inside the backward (UnexpectedTracerError at any ghost_floor
+    plan with model.remat=true — the production 1M S=8 config). Levels now
+    ride the residuals. The remat step must run AND match the no-remat
+    step's loss exactly."""
+    losses = {}
+    for remat in (False, True):
+        cfg, h, plan, n, node_in, node_tar, mask = _setup(
+            local_layouts=True, ghost_floor=45, remat=remat,
+            aggregation="fused",
+        )
+        tr = Trainer(cfg)
+        mesh = make_mesh(1, 4)
+        step = make_halo_train_step(tr, mesh, plan)
+        ni = jnp.asarray(partition_nodes(plan, node_in))
+        nt = jnp.asarray(partition_nodes(plan, node_tar))
+        nm = jnp.asarray(partition_nodes(plan, mask))
+        state = tr.state
+        key = jax.random.PRNGKey(7)
+        ls = []
+        for i in range(3):
+            state, loss = step(state, ni, nt, nm, jax.random.fold_in(key, i))
+            ls.append(float(loss))
+        losses[remat] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
