@@ -60,7 +60,7 @@ def _install_ref_stubs():
 
 
 def build_data(n_nodes: int, n_train: int, n_test: int, n_frames: int,
-               seed: int, aspect: float = 1.0):
+               seed: int, aspect: float = 1.0, reorder: bool = False):
     """Shared-mesh synthetic airfoil trajectories (traveling vortex +
     advected density): fields [T, N, 3], one mesh for all. `aspect` > 1
     stretches the domain (graph diameter ~sqrt(N*aspect)) — required for
@@ -78,6 +78,14 @@ def build_data(n_nodes: int, n_train: int, n_test: int, n_frames: int,
     else:
         mesh = make_delaunay_mesh(n_nodes, rng, aspect=aspect)
     pos, cells, node_type = mesh
+    if reorder:
+        # Morton-order the mesh BEFORE either side sees it (windowed
+        # layouts need id locality; both frameworks then train on the
+        # identical node ordering, so mirror-mode init copying holds).
+        from bsms_gnn_tpu.graph.order import reorder_mesh
+
+        pos, cells, (node_type,), _ = reorder_mesh(pos, cells, (node_type,))
+        mesh = (pos, cells, node_type)
 
     def traj():
         fields, _ = generate_trajectory(n_nodes, n_frames, rng, True, mesh)
@@ -286,7 +294,9 @@ def run_ours(pos, cells, node_type, mask, train, test, stream, args, seed,
 
     n = pos.shape[0]
     edges = to_flat_edge(cells, "tri")
-    h = build_hierarchy(edges, args.depth, n, pos, pad_multiple=128)
+    h = build_hierarchy(edges, args.depth, n, pos, pad_multiple=128,
+                        window=getattr(args, "window", 0),
+                        edge_block=512 if getattr(args, "window", 0) else 128)
     n_pad = h.levels[0].n_pad_nodes
 
     # Mirror mode: identical noise is applied HOST-side (below) from the
@@ -368,6 +378,9 @@ def main():
         "draws — training curves must then track step-by-step (isolates "
         "optimizer/arithmetic from draw luck)"))
     ap.add_argument("--aggregation", default="ell")
+    ap.add_argument("--window", type=int, default=0,
+                    help="Morton-reorder the mesh and build windowed "
+                         "layouts (production fused kernel path)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "out", "reference_showdown.json"))
     args = ap.parse_args()
@@ -376,7 +389,7 @@ def main():
     for seed in range(args.seeds):
         pos, cells, node_type, mask, train, test = build_data(
             args.nodes, args.n_train, args.n_test, args.frames, seed,
-            aspect=args.aspect,
+            aspect=args.aspect, reorder=args.window > 0,
         )
         stream = make_stream(args.n_train, args.frames, args.batch, args.steps, seed)
 
@@ -393,11 +406,21 @@ def main():
             mirror_snap=init_snap if args.mirror else None,
         )
         t_ours = time.time() - t0
+        mirror_stats = None
         if args.mirror:
             rel = [
                 abs(a - b) / max(abs(b), 1e-8)
                 for a, b in zip(our_losses, ref_losses)
             ]
+            # Committed to the JSON (VERDICT r4 weak item 3: the headline
+            # per-step rel-diff was print-only).
+            mirror_stats = {
+                "per_step_rel_diff_first10": [float(r) for r in rel[:10]],
+                "first10_max": float(max(rel[:10])),
+                "median": float(np.median(rel)),
+                "p90": float(np.quantile(rel, 0.9)),
+                "last": float(rel[-1]),
+            }
             print(f"[mirror seed {seed}] per-step loss rel diff: "
                   f"first10 max {max(rel[:10]):.2e}  "
                   f"median {float(np.median(rel)):.3e}  "
@@ -430,6 +453,8 @@ def main():
             "wall_s_reference_cpu": round(t_ref, 1),
             "wall_s_ours": round(t_ours, 1),
             "loss_curve": curve,
+            **({"mirror_per_step_rel_diff": mirror_stats}
+               if mirror_stats else {}),
         }
         results["seeds"].append(entry)
         o, r = entry["rollout_rmse_ours_mean"], entry["rollout_rmse_reference_mean"]

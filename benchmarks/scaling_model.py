@@ -114,12 +114,15 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
     mask = np.zeros((n_pad, 1), np.float32)
     mask[:n] = 1.0
 
+    note = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--note=")), None)
     result = {
         "mesh": {"n_nodes": n, "depth": depth, "e_pad_global": e_global},
         "assumptions": {
             "ms_1chip_measured": ms_1chip,
             "ici_bytes_per_s": ICI_BYTES_PER_S,
             "compute_model": "t1/S x per-shard padding factor",
+            **({"note": note} if note else {}),
         },
         "shards": {},
     }
@@ -228,6 +231,7 @@ def main(n_nodes=16000, depth=7, ms_1chip=16.2, shards=(2, 4, 8),
 
 if __name__ == "__main__":
     a = [x for x in sys.argv[1:] if not x.startswith("--")]
+    # --note=... is recorded into the JSON assumptions verbatim.
     main(
         int(a[0]) if a else 16000,
         int(a[1]) if len(a) > 1 else 7,
