@@ -33,7 +33,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
+def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2),
+         two_variants=False):
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +81,8 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
         ("bfloat16", "bfloat16", ""),
         ("bf16_io32", "bfloat16", "float32"),
     ]
+    if two_variants:  # converged-regime run: f32 vs plain bf16 only
+        variants = variants[:2]
     results = {"config": {"n_nodes": n, "depth": depth, "budget_s": budget_s,
                           "seeds": list(seeds)}, "runs": {}}
 
@@ -133,11 +136,17 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
             losses = []
             t0 = time.time()
             s = 0
+            t_to_003 = None
             while time.time() - t0 < budget_s:
                 ni, nt = batch(s)
                 l = tr.iter(h, ni, nt, mask_pad, jax.random.fold_in(key, s))
                 losses.append(float(l))
                 s += 1
+                # Converged-regime marker (VERDICT r4 item 7): first wall
+                # time the 50-step mean training loss crosses 0.03.
+                if (t_to_003 is None and s >= 80
+                        and float(np.mean(losses[-50:])) <= 0.03):
+                    t_to_003 = time.time() - t0
             wall = time.time() - t0
 
             sim = tr.state.sim
@@ -165,6 +174,8 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
                 "ms_per_step": round(1e3 * wall / max(s, 1), 1),
                 "compile_s": round(compile_s, 1),
                 "final_loss_25": round(float(np.mean(losses[-25:])), 5),
+                "wall_s_to_loss_0.03": (round(t_to_003, 1)
+                                        if t_to_003 is not None else None),
                 "rollout_rmse": rollout_rmse(None),
             }
             results["runs"].setdefault(name, []).append(run)
@@ -195,7 +206,11 @@ def main(n_nodes=50_000, depth=6, budget_s=240.0, seeds=(0, 1, 2)):
             "equal_wall_rmse_ratio_per_seed": [round(r, 3) for r in ratios],
         }
     results["summary"] = summary
-    out = os.path.join(os.path.dirname(__file__), "out", "bf16_recipe.json")
+    # Long-budget (converged-regime) runs land in a separate artifact so
+    # the committed 240 s rows stay for contrast (VERDICT r4 item 7).
+    fname = ("bf16_recipe.json" if budget_s <= 600
+             else "bf16_recipe_converged.json")
+    out = os.path.join(os.path.dirname(__file__), "out", fname)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
@@ -208,4 +223,6 @@ if __name__ == "__main__":
         int(a[0]) if a else 50_000,
         int(a[1]) if len(a) > 1 else 6,
         float(a[2]) if len(a) > 2 else 240.0,
+        seeds=tuple(range(int(a[3]))) if len(a) > 3 else (0, 1, 2),
+        two_variants=len(a) > 4 and a[4] == "2var",
     )

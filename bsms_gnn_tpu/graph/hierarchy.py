@@ -406,6 +406,7 @@ def _pad_level(
     window: int = 0, min_chunks: bool = True,
     resid_e_pad_min: int = 0, force_resid: bool = False,
     ell_k_min: int = 0, resid_ell_k_min: int = 0,
+    force_cresid: bool = False,
 ) -> LevelGraph:
     n, e = g.num_nodes, g.flat_edges.shape[1]
     assert n_pad > n, "need at least one padding node"
@@ -515,7 +516,7 @@ def _pad_level(
         send_win, win_base, resid_level, cresid = _window_tables(
             senders, receivers, edge_mask, reverse_perm, ew, n_pad, window,
             edge_block, n, lvl_pos, resid_e_pad_min, force_resid,
-            resid_ell_k_min,
+            resid_ell_k_min, force_cresid,
         )
     return LevelGraph(
         senders=senders,
@@ -831,6 +832,7 @@ def _window_tables(
     resid_e_pad_min: int = 0,
     force_resid: bool = False,
     resid_ell_k_min: int = 0,
+    force_cresid: bool = False,
 ):
     """Per-CHUNK aligned source windows for the windowed one-hot gather
     kernel (ops/pallas/windowed.py).
@@ -870,9 +872,13 @@ def _window_tables(
             edge_block=min(edge_block, EDGE_BLOCK), window=0,
             min_chunks=False, ell_k_min=resid_ell_k_min,
         )
-        if not force_resid and resid_e_pad_min == 0 and resid_ell_k_min == 0:
+        if (not force_resid and resid_e_pad_min == 0
+                and resid_ell_k_min == 0) or force_cresid:
             # Compact fast path — skipped on shape-pinned builds (bucketed
-            # datasets / per-shard stacking), which need fixed table shapes.
+            # datasets), which need fixed table shapes, UNLESS the caller
+            # unifies the table shapes itself (per-shard halo stacking:
+            # parallel/partition.py::_unify_cresids pads rows/visits to
+            # the shard maximum with inert entries).
             cresid = _compact_resid(
                 s64[m], receivers.astype(np.int64)[m], ew[m],
                 ew[reverse_perm][m], n_pad, lvl_pos, symmetric=True,

@@ -139,7 +139,15 @@ def gmp_apply(
             params.mlp_edge.weights[1:], params.mlp_edge.biases[1:],
         )
         if aggr is not None:
-            if lg.resid is not None:
+            acc = None
+            if lg.cresid is not None:
+                # Compact residual on the shard's EXT tables (r5: shard
+                # layouts now carry unified CompactResid — see
+                # parallel/partition.py::_unify_cresids; its absence was a
+                # major term of the measured per-shard cost blow-up).
+                acc = _cresid_edge_phase(lg.cresid, params, ext_xwi,
+                                         ext_xj, wf, aggr, compute_dtype)
+            if acc is None and lg.resid is not None:
                 from bsms_gnn_tpu.ops.pallas import segment_sum_accum
 
                 r = lg.resid
@@ -151,9 +159,9 @@ def gmp_apply(
                 )
                 e_r = mlp_apply_tail(params.mlp_edge, pre_r, compute_dtype)
                 acc = segment_sum_accum(r, e_r, aggr)
-                aggr = acc if acc is not None else aggr + aggregate_recv(
-                    r, e_r, "ell"
-                )
+                if acc is None:
+                    acc = aggr + aggregate_recv(r, e_r, "ell")
+            aggr = acc if acc is not None else aggr
             return _node_phase(
                 params, x, aggr[..., :n_loc, :], method, compute_dtype
             )

@@ -311,9 +311,6 @@ def _attach_ghost_layout(
         e_layouts.append(layout_edge_count(counts, n_ext_pad, edge_block))
 
     emax = max(e_layouts)
-    # cresid=None: per-shard compact-residual tables have per-shard shapes
-    # and cannot stack leaf-wise across shards (the halo paths use the
-    # shape-pinned mini residual layouts instead).
     lgs = [
         _pad_level(
             CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
@@ -323,7 +320,13 @@ def _attach_ghost_layout(
     ]
     if window and any(lg.resid is not None for lg in lgs):
         # Residual (out-of-window) sub-layouts must stack too: force one on
-        # every shard (possibly empty) at the max residual size.
+        # every shard (possibly empty) at the max residual size — and build
+        # the compact-residual tables (force_cresid), whose ragged
+        # per-shard shapes _unify_cresids pads to the shard maximum. The
+        # compact path is the difference between 74 ns and 5 ns per
+        # residual edge (round-4 kernel breakdown) — the r5 per-shard
+        # anchor measured its absence as a major term of the 3.2x
+        # per-shard cost blow-up (PARITY "scaling" round-5 section).
         resid_emax = max(
             lg.resid.n_pad_edges for lg in lgs if lg.resid is not None
         )
@@ -332,9 +335,11 @@ def _attach_ghost_layout(
                 CsrGraph(le, n_ext), n_ext_pad, emax, ec_l, ext_pos,
                 edge_block=edge_block, window=window,
                 resid_e_pad_min=resid_emax, force_resid=True,
+                force_cresid=True,
             )
             for le, ec_l, ext_pos in shard_inputs
         ]
+        lgs = _unify_cresids(lgs, n_ext_pad)
 
     def _unify_ells(lvls, n_edges_meta):
         e_pad = lvls[0].n_pad_edges
@@ -377,6 +382,52 @@ def _attach_ghost_layout(
         local=stacked,
         recv_clamped=recv_clamped,
     )
+
+
+def _unify_cresids(lgs, n_pad: int):
+    """Pad per-shard CompactResid tables to common (rows, visits) shapes
+    so they stack leaf-wise across shards: pad ROWS are inert (pad-node
+    endpoints, zero weights, zero fiber, identity twin; they belong to
+    input blocks no visit references), pad VISITS repeat the last real
+    visit's output/input block with fully-masked receiver rows, so the
+    accumulate kernel adds exact zeros. n_real records the shard-max (the
+    static field must match across shards for stacking)."""
+    crs = [lg.cresid for lg in lgs]
+    if any(cr is None for cr in crs):
+        return [lg.replace(cresid=None) for lg in lgs]
+    rp_max = max(cr.n_rows for cr in crs)
+    v_max = max(int(cr.visit_block.shape[0]) for cr in crs)
+    v8 = -(-v_max // 8) * 8
+    n_real_meta = max(cr.n_real for cr in crs)
+    out = []
+    for lg, cr in zip(lgs, crs):
+        rp, v = cr.n_rows, int(cr.visit_block.shape[0])
+        pr, pv = rp_max - rp, v_max - v
+        vr = np.full((v8, 128), -1, np.int32)
+        vr[:v] = np.asarray(cr.visit_recv)[:v]
+
+        def pad1(a, val, pr=pr):
+            return np.pad(np.asarray(a), (0, pr), constant_values=val)
+
+        cr2 = cr.replace(
+            senders=pad1(cr.senders, n_pad - 1).astype(np.int32),
+            receivers=pad1(cr.receivers, n_pad - 1).astype(np.int32),
+            ew=pad1(cr.ew, 0.0),
+            ew_rev=pad1(cr.ew_rev, 0.0),
+            fiber=np.pad(np.asarray(cr.fiber), ((0, pr), (0, 0))),
+            twin=np.concatenate(
+                [np.asarray(cr.twin).astype(np.int32),
+                 np.arange(rp, rp_max, dtype=np.int32)]
+            ),
+            visit_block=np.pad(np.asarray(cr.visit_block), (0, pv),
+                               mode="edge").astype(np.int32),
+            visit_cblk=np.pad(np.asarray(cr.visit_cblk), (0, pv),
+                              mode="edge").astype(np.int32),
+            visit_recv=vr,
+            n_real=int(n_real_meta),
+        )
+        out.append(lg.replace(cresid=cr2))
+    return out
 
 
 def _balanced_assignment(graphs, ids, n_shards: int) -> np.ndarray:
