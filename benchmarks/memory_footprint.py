@@ -95,9 +95,17 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
         mask[:, n:] = 0.0
 
         trainer = Trainer(cfg)
-        peak = _compiled_peak_bytes(
-            trainer, h, node_in, node_tar, mask, jax.random.fold_in(key, 2)
-        )
+        try:
+            peak = _compiled_peak_bytes(
+                trainer, h, node_in, node_tar, mask,
+                jax.random.fold_in(key, 2)
+            )
+        except Exception as e:  # compiler itself fails near/over capacity
+            print(f"batch {b:3d}: compile failed ({type(e).__name__}) — "
+                  "recorded as over-capacity", flush=True)
+            results.append((b, None, None))
+            del trainer
+            continue
         gb = peak / 2**30
         ms = None
         if gb and gb <= EXEC_GIB_LIMIT:
@@ -127,22 +135,23 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
               flush=True)
         del trainer
 
-    if len(results) < 2:
+    fit_rows = [r for r in results if r[1] is not None]
+    if len(fit_rows) < 2:
         return None
-    bs = np.array([r[0] for r in results], np.float64)
-    gbs = np.array([r[1] for r in results], np.float64)
+    bs = np.array([r[0] for r in fit_rows], np.float64)
+    gbs = np.array([r[1] for r in fit_rows], np.float64)
     # Capacity saturation detection: near the chip's HBM limit XLA trades
     # memory for time (serialized schedules / forced remat), so the top
     # points flatten and a least-squares line through the kink matches
     # neither regime. Fit only the linear head: drop trailing points whose
     # pairwise slope falls below half the first pairwise slope.
     pair = np.diff(gbs) / np.diff(bs)
-    keep = len(results)
+    keep = len(fit_rows)
     for i in range(1, len(pair)):
         if pair[i] < 0.5 * pair[0]:
             keep = i + 1
             break
-    saturated = [i >= keep for i in range(len(results))]
+    saturated = [i >= keep for i in range(len(fit_rows))]
     slope, intercept = np.polyfit(bs[:keep], gbs[:keep], 1)
     print(
         f"[n={n_nodes} remat={remat}] slope {slope * 1024:.1f} MiB/sample "
@@ -156,7 +165,11 @@ def run_sweep(n_nodes=1300, batches=(8, 16, 32, 64),
             {"batch": int(b), "gib": round(g, 3),
              "ms_per_step": round(ms, 1) if ms is not None else None,
              "capacity_saturated": bool(sat)}
-            for (b, g, ms), sat in zip(results, saturated)
+            for (b, g, ms), sat in zip(fit_rows, saturated)
+        ] + [
+            {"batch": int(b), "gib": None, "ms_per_step": None,
+             "compile_failed_over_capacity": True}
+            for (b, g, ms) in results if g is None
         ],
         "mib_per_sample": round(slope * 1024, 2),
         "intercept_gib": round(intercept, 3),

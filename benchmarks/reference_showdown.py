@@ -457,6 +457,10 @@ def main():
                if mirror_stats else {}),
         }
         results["seeds"].append(entry)
+        # Incremental write: a wall-clock cap mid-sweep keeps earlier seeds.
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
         o, r = entry["rollout_rmse_ours_mean"], entry["rollout_rmse_reference_mean"]
         print(f"[seed {seed}] rollout RMSE ours/ref: "
               f"s1 {o['s1']:.4f}/{r['s1']:.4f} s10 {o['s10']:.4f}/{r['s10']:.4f} "

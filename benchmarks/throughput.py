@@ -111,6 +111,7 @@ def measure(batches, n_nodes=5233, depth=7):
     from bsms_gnn_tpu.utils.timing import pipelined_timeit
 
     cfg, h, node_in, mask, n_real, stats = _build("airfoil", n_nodes, depth)
+    h = jax.device_put(h)  # once — h rides as a per-call jit argument
     state = init_simulator(jax.random.PRNGKey(0), cfg.model)
     flops1 = _dense_flops(cfg.model, h)  # per mesh
 
@@ -119,12 +120,15 @@ def measure(batches, n_nodes=5233, depth=7):
         ni = jnp.broadcast_to(node_in, (B, *node_in.shape))
         m = jnp.broadcast_to(mask, (B, *mask.shape))
         for dtype, label in ((None, "f32"), (jnp.bfloat16, "bf16")):
-            fwd = jax.jit(
-                lambda a, b, dt=dtype: simulator_forward(
-                    state.params, state.norm_in, state.norm_out, h, a, b,
+            # h rides as a jit ARGUMENT: closing over it bakes the tables
+            # into the serialized program (remote compile size limit).
+            fwd_h = jax.jit(
+                lambda hh, a, b, dt=dtype: simulator_forward(
+                    state.params, state.norm_in, state.norm_out, hh, a, b,
                     cfg.model, dt,
                 )
             )
+            fwd = lambda a, b: fwd_h(h, a, b)
             out = fwd(ni, m)
             assert np.all(np.isfinite(np.asarray(out[:, :n_real])))
             t = min(
@@ -209,12 +213,14 @@ def measure_union(batches, n_nodes=5233, depth=7, window=512,
         ni, mask = jnp.asarray(ni), jnp.asarray(mask)
         flops1 = _dense_flops(cfg.model, h) / B
         for dtype, label in ((jnp.bfloat16, "bf16"),):
-            fwd = jax.jit(
-                lambda a, b, hh=h, dt=dtype: simulator_forward(
+            fwd_h = jax.jit(
+                lambda hh, a, b, dt=dtype: simulator_forward(
                     state.params, state.norm_in, state.norm_out, hh, a, b,
                     cfg.model, dt,
                 )
             )
+            hd = jax.device_put(h)
+            fwd = lambda a, b: fwd_h(hd, a, b)
             out = fwd(ni, mask)
             assert np.all(np.isfinite(np.asarray(out[: min(64, n)])))
             t = min(
