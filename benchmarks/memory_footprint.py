@@ -195,28 +195,49 @@ def main(node_counts=(1300, 5000), batches=(8, 16, 32, 64),
         ) if r is not None]
         if not sweeps:
             continue
+        # A 2-point fit is untrustworthy near capacity (the pair may lie
+        # in the flattened XLA memory-for-time regime): only sweeps with
+        # >=3 linear-head points compete for the recommendation.
+        valid = [r for r in sweeps if r["fit_points"] >= 3]
         by_remat = {r["remat"]: r for r in sweeps}
         line = " / ".join(
             f"remat-{'on' if k else 'off'} "
             f"{by_remat[k]['predicted_gib_at_batch64']:.1f} GiB"
             for k in sorted(by_remat)
         )
-        best = min(sweeps, key=lambda r: r["predicted_gib_at_batch64"])
-        if n_nodes <= 2000:
+        best = (min(valid, key=lambda r: r["predicted_gib_at_batch64"])
+                if valid else None)
+        if best is not None and n_nodes <= 2000:
             print(
                 f"REFERENCE COMPARISON (n={n_nodes}): {line} @ batch 64 "
                 f"vs BSMS-GNN(torch) ~17 GB (figs/perform.png(c)); "
                 f"recommended (remat={best['remat']}) is "
                 f"{17.0 / best['predicted_gib_at_batch64']:.1f}x less"
             )
+        # When every fit is a <3-point (capacity-bound) head, a batch-64
+        # extrapolation is meaningless — report FEASIBILITY instead: the
+        # largest batch whose compiled step fits under the exec limit.
+        feasible = {
+            ("remat_on" if r["remat"] else "remat_off"): max(
+                [p["batch"] for p in r["points"]
+                 if p.get("ms_per_step") is not None], default=0)
+            for r in sweeps
+        }
+        if best is None:
+            print(
+                f"CAPACITY (n={n_nodes}): no trustworthy batch-64 "
+                f"extrapolation (all fits capacity-bound); feasible batch "
+                f"on one 16 GB chip: {feasible}"
+            )
         cases.append({
             "n_nodes": n_nodes,
             "sweeps": sweeps,
-            "recommended": {
+            "feasible_batch_single_chip": feasible,
+            "recommended": (None if best is None else {
                 "remat": best["remat"],
                 "mib_per_sample": best["mib_per_sample"],
                 "predicted_gib_at_batch64": best["predicted_gib_at_batch64"],
-            },
+            }),
         })
     if not cases:
         print("no memory accounting available on this backend")
