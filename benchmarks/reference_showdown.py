@@ -28,6 +28,8 @@ import types
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REF_SRC = "/root/reference/src"
 OUT_DIM, POS_DIM = 3, 2
 NOISE_LEVEL = [0.02, 0.02, 0.02]  # synthetic fields are O(1)
@@ -384,6 +386,13 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "out", "reference_showdown.json"))
     args = ap.parse_args()
+
+    # Fail-fast device probe: jax is first touched ~25 min in (after the
+    # torch reference phase); a dead/settling TPU tunnel should abort the
+    # run NOW, not then.
+    import jax as _jax
+
+    print("device probe:", _jax.devices(), flush=True)
 
     results = {"config": vars(args), "seeds": []}
     for seed in range(args.seeds):
